@@ -1,0 +1,175 @@
+"""Stabilization quality metrics (SURVEY.md §2.1; BASELINE.json:2).
+
+Implements the three metrics named by the contract — stability score,
+cropping ratio, distortion — following the Bundled-Camera-Paths protocol
+[EXT]: all three are derived from per-frame 2D transforms.
+
+Two acquisition paths for those transforms:
+- analytic: the pipeline already knows the applied warps (fast, exact);
+- video-based: `estimate_pair_transforms_cv` tracks sparse features
+  (cv2 host-side) between frames of any two videos — the independent
+  cross-check required by SURVEY.md §4 "Metric conformance".
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Stability score: FFT low-frequency energy ratio of the camera path.
+# ---------------------------------------------------------------------------
+
+
+def stability_score(pair_transforms: Array) -> Array:
+    """Stability of a video given its inter-frame transforms [T-1,2,3].
+
+    Protocol [EXT, Bundled Camera Paths]: accumulate translation-x,
+    translation-y and rotation angle into per-component 1-D camera paths;
+    for each, stability = (energy of frequencies 2..6) / (total energy
+    excluding DC) of the FFT; final score = average over components.
+    Higher = more stable (low-frequency dominated).
+    """
+    a = pair_transforms
+    tx = jnp.cumsum(a[:, 0, 2])
+    ty = jnp.cumsum(a[:, 1, 2])
+    ang = jnp.cumsum(jnp.arctan2(a[:, 1, 0], a[:, 0, 0]))
+
+    def comp(sig: Array) -> Array:
+        spec = jnp.abs(jnp.fft.rfft(sig)) ** 2
+        total = jnp.sum(spec[1:]) + 1e-8
+        low = jnp.sum(spec[1:7][1:])  # frequencies 2..6
+        return low / total
+
+    return (comp(tx) + comp(ty) + comp(ang)) / 3.0
+
+
+# ---------------------------------------------------------------------------
+# Cropping ratio & distortion from per-frame input->output transforms.
+# ---------------------------------------------------------------------------
+
+
+def cropping_ratio(in_out_transforms: Array) -> Array:
+    """Mean per-frame retained scale of the input->output transforms [T,2,3].
+
+    The scale of the affine part is sqrt(|det|); ratio is clipped at 1
+    (zooming out cannot 'gain' content).
+    """
+    lin = in_out_transforms[:, :, :2]
+    det = jnp.abs(
+        lin[:, 0, 0] * lin[:, 1, 1] - lin[:, 0, 1] * lin[:, 1, 0]
+    )
+    scale = jnp.sqrt(det + 1e-12)
+    return jnp.mean(jnp.minimum(scale, 1.0 / jnp.maximum(scale, 1e-6)))
+
+
+def distortion_score(in_out_transforms: Array) -> Array:
+    """Worst-case anisotropy: min over frames of (sigma_min/sigma_max) of the
+    affine part — 1.0 for similarity transforms, lower = more distortion."""
+    lin = in_out_transforms[:, :, :2]
+    # Singular values of 2x2: via eigenvalues of A^T A.
+    ata = jnp.einsum("tij,tik->tjk", lin, lin)
+    tr = ata[:, 0, 0] + ata[:, 1, 1]
+    det = ata[:, 0, 0] * ata[:, 1, 1] - ata[:, 0, 1] * ata[:, 1, 0]
+    disc = jnp.sqrt(jnp.maximum(tr**2 / 4.0 - det, 0.0))
+    s1 = jnp.sqrt(jnp.maximum(tr / 2.0 + disc, 1e-12))
+    s2 = jnp.sqrt(jnp.maximum(tr / 2.0 - disc, 0.0))
+    return jnp.min(s2 / s1)
+
+
+# ---------------------------------------------------------------------------
+# Video-based transform extraction (host, cv2) — independent cross-check.
+# ---------------------------------------------------------------------------
+
+
+def estimate_pair_transforms_cv(frames: np.ndarray) -> np.ndarray:
+    """[T,H,W,3] float/uint8 -> [T-1,2,3] inter-frame affines via sparse
+    KLT tracking + robust partial-affine fit (OpenCV, host-side)."""
+    import cv2
+
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    grays = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames]
+    out = []
+    eye = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float64)
+    for t in range(len(grays) - 1):
+        p0 = cv2.goodFeaturesToTrack(
+            grays[t], maxCorners=400, qualityLevel=0.01, minDistance=8
+        )
+        if p0 is None or len(p0) < 6:
+            out.append(eye.copy())
+            continue
+        p1, st, _ = cv2.calcOpticalFlowPyrLK(grays[t], grays[t + 1], p0, None)
+        good = st.reshape(-1) == 1
+        if good.sum() < 6:
+            out.append(eye.copy())
+            continue
+        m, _ = cv2.estimateAffinePartial2D(
+            p0[good], p1[good], method=cv2.RANSAC, ransacReprojThreshold=2.0
+        )
+        out.append(eye.copy() if m is None else m)
+    return np.stack(out).astype(np.float32)
+
+
+def estimate_cross_transforms_cv(
+    in_frames: np.ndarray, out_frames: np.ndarray
+) -> np.ndarray:
+    """Per-frame input_t -> output_t affines [T,2,3] (for cropping/distortion
+    of an arbitrary stabilized video)."""
+    import cv2
+
+    def to_u8(f):
+        return (
+            f if f.dtype == np.uint8 else (np.clip(f, 0, 1) * 255).astype(np.uint8)
+        )
+
+    eye = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float64)
+    out = []
+    for t in range(len(in_frames)):
+        g0 = cv2.cvtColor(to_u8(in_frames[t]), cv2.COLOR_RGB2GRAY)
+        g1 = cv2.cvtColor(to_u8(out_frames[t]), cv2.COLOR_RGB2GRAY)
+        p0 = cv2.goodFeaturesToTrack(
+            g0, maxCorners=400, qualityLevel=0.01, minDistance=8
+        )
+        if p0 is None or len(p0) < 6:
+            out.append(eye.copy())
+            continue
+        p1, st, _ = cv2.calcOpticalFlowPyrLK(g0, g1, p0, None)
+        good = st.reshape(-1) == 1
+        if good.sum() < 6:
+            out.append(eye.copy())
+            continue
+        m, _ = cv2.estimateAffinePartial2D(
+            p0[good], p1[good], method=cv2.RANSAC, ransacReprojThreshold=3.0
+        )
+        out.append(eye.copy() if m is None else m)
+    return np.stack(out).astype(np.float32)
+
+
+def evaluate_videos(
+    in_frames: np.ndarray, out_frames: np.ndarray
+) -> dict:
+    """Full metric triple for (input video, stabilized video)."""
+    pair_out = estimate_pair_transforms_cv(out_frames)
+    cross = estimate_cross_transforms_cv(in_frames, out_frames)
+    return {
+        "stability": float(stability_score(jnp.asarray(pair_out))),
+        "cropping": float(cropping_ratio(jnp.asarray(cross))),
+        "distortion": float(distortion_score(jnp.asarray(cross))),
+    }
+
+
+__all__ = [
+    "stability_score",
+    "cropping_ratio",
+    "distortion_score",
+    "estimate_pair_transforms_cv",
+    "estimate_cross_transforms_cv",
+    "evaluate_videos",
+]

@@ -1,0 +1,23 @@
+"""TPU kernels (Pallas + XLA fallbacks) — SURVEY.md L1."""
+
+from vstab.kernels.cost_volume import (
+    cost_volume,
+    cost_volume_pallas,
+    cost_volume_xla,
+)
+from vstab.kernels.warp import (
+    bilinear_warp,
+    bilinear_warp_pallas,
+    bilinear_warp_xla,
+    warp_validity,
+)
+
+__all__ = [
+    "cost_volume",
+    "cost_volume_pallas",
+    "cost_volume_xla",
+    "bilinear_warp",
+    "bilinear_warp_pallas",
+    "bilinear_warp_xla",
+    "warp_validity",
+]

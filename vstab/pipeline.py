@@ -1,0 +1,116 @@
+"""Pipeline: the one public entry point (SURVEY.md L6, §3.1).
+
+`stabilize(frames, params, cfg)` composes flow -> smoothing -> render under
+jit. The reference's analogue is a main.py driver doing per-frame
+session.run + numpy smoothing [RECON, SURVEY.md §3.1]; here the entire clip
+pipeline is one traced XLA program per chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vstab.core.config import Config
+from vstab.core.types import Clip
+from vstab.flow.pwcnet import estimate_flow, init_params
+from vstab.render.render import (
+    affine_to_flow,
+    grid_to_flow,
+    render_stabilized,
+)
+from vstab.smooth.affine import (
+    chain_path,
+    fit_affine_from_flow,
+    smooth_path,
+    stabilizing_transforms,
+)
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pair_chunk"))
+def clip_flow(params, frames: Array, cfg: Config, pair_chunk: int = 8) -> Array:
+    """Consecutive-pair flow over a clip, scanned in fixed-size pair chunks to
+    bound peak memory: [T,H,W,3] -> [T-1,H,W,2]."""
+    t, h, w, c = frames.shape
+    n_pairs = t - 1
+    n_chunks = -(-n_pairs // pair_chunk)
+    pad = n_chunks * pair_chunk - n_pairs
+    f1 = jnp.concatenate(
+        [frames[:-1], jnp.repeat(frames[-1:], pad, axis=0)], axis=0
+    )
+    f2 = jnp.concatenate(
+        [frames[1:], jnp.repeat(frames[-1:], pad, axis=0)], axis=0
+    )
+    f1 = f1.reshape(n_chunks, pair_chunk, h, w, c)
+    f2 = f2.reshape(n_chunks, pair_chunk, h, w, c)
+
+    def body(_, pair):
+        a, b = pair
+        return None, estimate_flow(params, a, b, cfg.flow)
+
+    _, flows = jax.lax.scan(body, None, (f1, f2))
+    return flows.reshape(n_chunks * pair_chunk, h, w, 2)[:n_pairs]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def smooth_and_render(
+    frames: Array, flow: Array, cfg: Config
+) -> Tuple[Array, Dict[str, Array]]:
+    """Smoothing + render given precomputed flow. Returns (out, diagnostics)."""
+    t, h, w, _ = frames.shape
+    if cfg.smooth.method == "affine":
+        pair = fit_affine_from_flow(flow)
+        path = chain_path(pair)
+        sm = smooth_path(path, sigma=cfg.smooth.affine_sigma)
+        warps = stabilizing_transforms(path, sm)
+        warp_flow = affine_to_flow(warps, h, w)
+        diags = {"warps": warps, "path": path.transforms, "smoothed": sm.transforms}
+    elif cfg.smooth.method == "sparse_ls":
+        from vstab.smooth.sparse_ls import smooth_grid_field
+
+        disp, diags = smooth_grid_field(flow, (h, w), cfg.smooth)
+        warp_flow = grid_to_flow(disp, h, w)
+    else:
+        raise ValueError(f"unknown smoothing method: {cfg.smooth.method}")
+    out = render_stabilized(frames, warp_flow, cfg.render)
+    return out, diags
+
+
+def stabilize(
+    frames: Array, params, cfg: Config
+) -> Tuple[Array, Dict[str, Array]]:
+    """Full pipeline on one clip: [T,H,W,3] -> (stabilized [T,H,W,3], diags)."""
+    flow = clip_flow(params, frames, cfg)
+    return smooth_and_render(frames, flow, cfg)
+
+
+def stabilize_clip(clip: Clip, params, cfg: Config) -> Clip:
+    out, _ = stabilize(clip.frames, params, cfg)
+    return Clip(frames=out, fps=clip.fps)
+
+
+def default_params(cfg: Config, seed: Optional[int] = None):
+    """Flow-net params: load from ckpts/ if present, else fresh init."""
+    import os
+
+    from vstab.utils.checkpoint import latest_checkpoint, load_params
+
+    ckpt = latest_checkpoint("ckpts")
+    if ckpt is not None:
+        return load_params(ckpt)
+    rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    return init_params(rng, cfg.flow)
+
+
+__all__ = [
+    "clip_flow",
+    "smooth_and_render",
+    "stabilize",
+    "stabilize_clip",
+    "default_params",
+]

@@ -1,0 +1,54 @@
+"""Checkpoint / resume (SURVEY.md §5 "Checkpoint / resume").
+
+Flow-net params via flax serialization (the reference's TF Saver analogue
+[RECON]); pipeline-level resume state is handled by the eval harness's JSONL
+manifest (vstab.eval.deepstab) and the solver block manifest (vstab.dist).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+from flax import serialization
+
+
+def save_params(path: str, params: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # Store the pytree structure with pickle and leaves with flax msgpack.
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    with open(path + ".tree", "wb") as f:
+        import jax
+
+        pickle.dump(jax.tree_util.tree_structure(params), f)
+
+
+def load_params(path: str, template: Optional[Any] = None) -> Any:
+    import jax
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    # Reconstruct without a template: msgpack restores the nested dict form.
+    state = serialization.msgpack_restore(data)
+    return jax.tree_util.tree_map(jnp.asarray, state)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [
+        os.path.join(ckpt_dir, f)
+        for f in os.listdir(ckpt_dir)
+        if f.endswith(".msgpack")
+    ]
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)
+
+
+__all__ = ["save_params", "load_params", "latest_checkpoint"]
