@@ -44,7 +44,7 @@ def stability_score(pair_transforms: Array) -> Array:
     def comp(sig: Array) -> Array:
         spec = jnp.abs(jnp.fft.rfft(sig)) ** 2
         total = jnp.sum(spec[1:]) + 1e-8
-        low = jnp.sum(spec[1:7][1:])  # frequencies 2..6
+        low = jnp.sum(spec[1:6])  # 2nd..6th components (1-based), DC excluded
         return low / total
 
     return (comp(tx) + comp(ty) + comp(ang)) / 3.0

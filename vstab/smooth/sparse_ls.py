@@ -1,0 +1,196 @@
+"""Sparse-least-squares motion-field smoothing (SURVEY.md §2.1
+"Sparse-LS motion smoothing", §3.3; BASELINE.json:5 "camera-trajectory/
+motion-field smoothing posed as a sparse least-squares problem").
+
+Model (MeshFlow/bundled-paths analogue [EXT]): a GH x GW grid of vertices;
+each vertex g accumulates the local flow into a "vertex profile" C_t(g)
+(its camera path). Smoothed profiles P minimize
+
+  E(P) = lam_d  sum_t ||P_t - C_t||^2                      (data)
+       + lam_s  sum_t ||P_{t+1} - P_t||^2                  (temporal smooth)
+       + lam_a  sum_t ||P_{t+1} - 2 P_t + P_{t-1}||^2      (acceleration)
+       + lam_r  sum_t ||D_s (P_t - C_t)||^2                (spatial rigidity)
+
+with D_s the 4-neighbor grid difference operator. The normal equations are
+
+  [ I_T (x) (lam_d I + lam_r L_s)  +  (lam_s L1 + lam_a L2) (x) I_G ] p = rhs
+
+— a Kronecker sum. TPU-native key move: diagonalize the (small, static)
+spatial Laplacian L_s = V diag(mu) V^T once per grid shape; in that basis
+the system decouples into G independent SPD *pentadiagonal* systems in time
+with per-mode diagonal shift alpha_g = lam_d + lam_r * mu_g, batched over
+modes x 2 components on the VPU lanes and solved by the Schur-complement
+block solver (vstab.smooth.schur). This is the "pose-graph/BA analogue" of
+BASELINE.json:5 with the elimination structure chosen for the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vstab.core.config import SmoothConfig
+from vstab.smooth.banded import banded_solve_scan
+from vstab.smooth.schur import schur_solve
+
+Array = jax.Array
+
+def _einsum(subs, *ops):
+    """einsum pinned to full-f32 accumulation (TPU default is bf16 inputs,
+    which loses ~8 mantissa bits — fatal for the normal-equation solves)."""
+    return jnp.einsum(subs, *ops, precision=jax.lax.Precision.HIGHEST)
+
+
+
+# ---------------------------------------------------------------------------
+# Vertex profiles from flow
+# ---------------------------------------------------------------------------
+
+
+def vertex_motion(flow: Array, grid_size: Tuple[int, int]) -> Array:
+    """Per-vertex motion from dense flow: [N,H,W,2] -> [N,GH,GW,2].
+
+    Robust local aggregate: average-pool the flow over each grid cell
+    (box regions centered on the vertices). Median would be more robust to
+    foreground motion; mean keeps it one reduce — revisit with profiling.
+    """
+    n, h, w, _ = flow.shape
+    gh, gw = grid_size
+    # Pool windows: partition rows/cols as evenly as possible.
+    ys = jnp.linspace(0, h, gh + 1).astype(jnp.int32)
+    xs = jnp.linspace(0, w, gw + 1).astype(jnp.int32)
+    # Use cumulative sums for ragged box averages (static shapes).
+    cs = jnp.cumsum(jnp.cumsum(flow, axis=1), axis=2)
+    cs = jnp.pad(cs, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    # box sum over [y0:y1, x0:x1] via inclusion-exclusion
+    a = cs[:, y1][:, :, x1]  # [N, GH, GW, 2]
+    b = cs[:, y0][:, :, x1]
+    c = cs[:, y1][:, :, x0]
+    d = cs[:, y0][:, :, x0]
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(flow.dtype)
+    return (a - b - c + d) / area[None, :, :, None]
+
+
+def vertex_profiles(flow: Array, grid_size: Tuple[int, int]) -> Array:
+    """Accumulated vertex paths C: [T-1,H,W,2] flow -> [T,GH,GW,2]."""
+    m = vertex_motion(flow, grid_size)
+    zero = jnp.zeros_like(m[:1])
+    return jnp.concatenate([zero, jnp.cumsum(m, axis=0)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Static operators (host-side, cached per shape)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def spatial_modes(gh: int, gw: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Eigendecomposition of the 4-neighbor grid Laplacian: (V [G,G], mu [G])."""
+    g = gh * gw
+    lap = np.zeros((g, g), np.float64)
+    idx = lambda i, j: i * gw + j
+    for i in range(gh):
+        for j in range(gw):
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ni, nj = i + di, j + dj
+                if 0 <= ni < gh and 0 <= nj < gw:
+                    lap[idx(i, j), idx(i, j)] += 1.0
+                    lap[idx(i, j), idx(ni, nj)] -= 1.0
+    mu, v = np.linalg.eigh(lap)
+    return v.astype(np.float32), np.maximum(mu, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def temporal_diagonals(t: int, lam_s: float, lam_a: float):
+    """Band diagonals of lam_s*D1^T D1 + lam_a*D2^T D2 (numpy, static T)."""
+    d0 = np.zeros(t, np.float32)
+    d1 = np.zeros(max(t - 1, 0), np.float32)
+    d2 = np.zeros(max(t - 2, 0), np.float32)
+    if t >= 2:
+        # First differences: rows r=0..t-2: x_{r+1} - x_r
+        d0[: t - 1] += lam_s
+        d0[1:] += lam_s
+        d1 += -lam_s
+    if t >= 3:
+        # Second differences: rows r=1..t-2: x_{r-1} - 2 x_r + x_{r+1}
+        for r in range(1, t - 1):
+            d0[r - 1] += lam_a
+            d0[r] += 4.0 * lam_a
+            d0[r + 1] += lam_a
+            d1[r - 1] += -2.0 * lam_a
+            d1[r] += -2.0 * lam_a
+            d2[r - 1] += lam_a
+    return d0, d1, d2
+
+
+# ---------------------------------------------------------------------------
+# The solve
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def smooth_profiles(c: Array, cfg: SmoothConfig) -> Array:
+    """Solve for smoothed vertex profiles P given C [T,GH,GW,2]."""
+    t, gh, gw, _ = c.shape
+    g = gh * gw
+    v_np, mu_np = spatial_modes(gh, gw)
+    v = jnp.asarray(v_np)
+    mu = jnp.asarray(mu_np)
+    td0, td1, td2 = (
+        jnp.asarray(x)
+        for x in temporal_diagonals(t, cfg.lambda_smooth, cfg.lambda_accel)
+    )
+
+    alpha = cfg.lambda_data + cfg.lambda_rigid * mu  # [G]
+    cvec = c.reshape(t, g, 2)
+    # To eigenbasis: ctil[t, g, comp] = V^T c
+    ctil = _einsum("ig,tic->tgc", v, cvec)
+    rhs = (alpha[None, :, None] * ctil).reshape(t, g * 2)
+
+    m = g * 2
+    d0 = td0[:, None] + jnp.repeat(alpha, 2)[None, :]
+    d0 = jnp.broadcast_to(d0, (t, m))
+    d0 = d0 + cfg.damping
+    d1 = jnp.broadcast_to(td1[:, None], (max(t - 1, 0), m))
+    d2 = jnp.broadcast_to(td2[:, None], (max(t - 2, 0), m))
+
+    if t >= 3 * cfg.block_len:
+        ptil = schur_solve(d0, d1, d2, rhs, block_len=cfg.block_len)
+    else:
+        ptil = banded_solve_scan(d0, d1, d2, rhs)
+
+    ptil = ptil.reshape(t, g, 2)
+    p = _einsum("ig,tgc->tic", v, ptil)  # back: V @ ptil
+    return p.reshape(t, gh, gw, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_hw", "cfg"))
+def smooth_grid_field(
+    flow: Array, frame_hw: Tuple[int, int], cfg: SmoothConfig
+) -> Tuple[Array, Dict[str, Array]]:
+    """flow [T-1,H,W,2] -> (stabilizing displacement grid [T,GH,GW,2], diags).
+
+    Output disp: the renderer samples input frame t at p + interp(disp_t)(p);
+    disp = C - P (real camera path minus smoothed path, in content-motion
+    convention — see vstab.smooth.affine for the affine-path derivation).
+    """
+    c = vertex_profiles(flow, cfg.grid_size)
+    p = smooth_profiles(c, cfg)
+    disp = c - p
+    return disp, {"profiles": c, "smoothed": p}
+
+
+__all__ = [
+    "vertex_motion",
+    "vertex_profiles",
+    "spatial_modes",
+    "temporal_diagonals",
+    "smooth_profiles",
+    "smooth_grid_field",
+]
