@@ -1,0 +1,96 @@
+"""Metric tests incl. cv2 conformance (SURVEY.md §4 "Metric conformance")."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vstab.core.types import compose_affine, invert_affine
+from vstab.eval.metrics import (
+    cropping_ratio,
+    distortion_score,
+    estimate_pair_transforms_cv,
+    stability_score,
+)
+from vstab.eval.synthetic import jitter_trajectory, make_shaky_clip
+
+
+def _pairs_of(path):
+    return compose_affine(invert_affine(path[1:]), path[:-1])
+
+
+def _translations(tx, ty=None, ang=None):
+    t = len(tx)
+    out = np.repeat(np.eye(2, 3, dtype=np.float32)[None], t, axis=0)
+    out[:, 0, 2] = tx
+    if ty is not None:
+        out[:, 1, 2] = ty
+    if ang is not None:
+        out[:, 0, 0] = np.cos(ang)
+        out[:, 0, 1] = -np.sin(ang)
+        out[:, 1, 0] = np.sin(ang)
+        out[:, 1, 1] = np.cos(ang)
+    return jnp.asarray(out)
+
+
+def test_stability_smooth_beats_shaky():
+    # stability_score takes PAIR transforms and accumulates them into the
+    # camera path; build pairs as diffs of a known path.
+    t = np.arange(121)
+    rng = np.random.default_rng(0)
+    # Low-frequency intended motion in all three components; jitter adds
+    # comparable white-noise energy to each.
+    px = 30 * np.sin(2 * np.pi * 2 * t / 121)
+    py = 20 * np.cos(2 * np.pi * 2 * t / 121)
+    pa = 0.05 * np.sin(2 * np.pi * 3 * t / 121)
+    s_smooth = float(
+        stability_score(_translations(np.diff(px), np.diff(py), np.diff(pa)))
+    )
+    s_shaky = float(
+        stability_score(
+            _translations(
+                np.diff(px + rng.normal(0, 20, 121)),
+                np.diff(py + rng.normal(0, 15, 121)),
+                np.diff(pa + rng.normal(0, 0.04, 121)),
+            )
+        )
+    )
+    assert s_smooth > 0.9
+    assert s_shaky < 0.7
+    assert s_smooth > s_shaky + 0.2
+
+
+def test_cropping_ratio_known_zoom():
+    t = 10
+    tr = np.repeat((0.8 * np.eye(2, 3)).astype(np.float32)[None], t, axis=0)
+    tr[:, :, 2] = 0
+    assert abs(float(cropping_ratio(jnp.asarray(tr))) - 0.8) < 1e-4
+
+
+def test_distortion_known_anisotropy():
+    tr = np.repeat(np.eye(2, 3, dtype=np.float32)[None], 5, axis=0)
+    tr[2, 0, 0] = 0.5  # squeeze x by half in one frame
+    assert abs(float(distortion_score(jnp.asarray(tr))) - 0.5) < 1e-4
+    tr2 = np.repeat(np.eye(2, 3, dtype=np.float32)[None], 5, axis=0)
+    assert abs(float(distortion_score(jnp.asarray(tr2))) - 1.0) < 1e-5
+
+
+def test_metric_invariant_to_brightness():
+    frames, _ = make_shaky_clip(t=16, h=96, w=128, seed=5)
+    bright = jnp.clip(frames * 1.3 + 0.05, 0, 1)
+    t1 = estimate_pair_transforms_cv(np.asarray(frames))
+    t2 = estimate_pair_transforms_cv(np.asarray(bright))
+    s1 = float(stability_score(jnp.asarray(t1)))
+    s2 = float(stability_score(jnp.asarray(t2)))
+    assert abs(s1 - s2) < 0.1
+
+
+def test_cv2_conformance_with_analytic_transforms():
+    """cv2-tracked pair transforms must match the known synthetic cameras."""
+    frames, cams = make_shaky_clip(t=24, h=160, w=192, seed=7)
+    tracked = estimate_pair_transforms_cv(np.asarray(frames))
+    analytic = np.asarray(_pairs_of(cams))
+    # translations agree to sub-pixel on average
+    err = np.abs(tracked[:, :, 2] - analytic[:, :, 2])
+    assert np.median(err) < 0.5
+    s_tracked = float(stability_score(jnp.asarray(tracked)))
+    s_analytic = float(stability_score(jnp.asarray(analytic)))
+    assert abs(s_tracked - s_analytic) < 0.15

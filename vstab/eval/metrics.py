@@ -43,9 +43,10 @@ def stability_score(pair_transforms: Array) -> Array:
 
     def comp(sig: Array) -> Array:
         spec = jnp.abs(jnp.fft.rfft(sig)) ** 2
-        total = jnp.sum(spec[1:]) + 1e-8
+        total = jnp.sum(spec[1:])
         low = jnp.sum(spec[1:6])  # 2nd..6th components (1-based), DC excluded
-        return low / total
+        # A motionless component (zero AC energy) is perfectly stable.
+        return jnp.where(total > 1e-8, low / jnp.maximum(total, 1e-8), 1.0)
 
     return (comp(tx) + comp(ty) + comp(ang)) / 3.0
 
