@@ -56,26 +56,20 @@ def cost_volume_xla(f1: Array, f2: Array, radius: int = 4) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _cv_kernel(f1_ref, f2_hbm, out_ref, f2_vmem, sem, *, radius: int, tile_h: int):
-    """Grid = (N, H/tile_h). f1 block [tile_h, W, C] in VMEM; f2 padded
-    [H+2r, W+2r, C] per sample stays in HBM/ANY; we DMA the haloed band."""
+def _cv_kernel(f1_ref, f2_ref, out_ref, *, radius: int, tile_h: int):
+    """Grid = (N, H/tile_h). f1 block [1, tile_h, W, C] in VMEM; padded f2
+    [1, H+2r, W+2r, C] resident in VMEM for the whole sample (the per-level
+    feature maps are small; Pallas re-fetches it only when N changes)."""
     r = radius
-    n = pl.program_id(0)
     i = pl.program_id(1)
     _, th, w, c = f1_ref.shape
-    # DMA the haloed row band of padded f2: rows [i*th, i*th + th + 2r).
-    copy = pltpu.make_async_copy(
-        f2_hbm.at[n, pl.ds(i * tile_h, tile_h + 2 * r)],
-        f2_vmem,
-        sem,
-    )
-    copy.start()
     f1 = f1_ref[0].astype(jnp.float32)
-    copy.wait()
     inv_c = 1.0 / c
+    row0 = i * tile_h
     for dy in range(2 * r + 1):
+        band = f2_ref[0, pl.ds(row0 + dy, th)]  # [th, W+2r, C]
         for dx in range(2 * r + 1):
-            shifted = f2_vmem[dy : dy + th, dx : dx + w, :].astype(jnp.float32)
+            shifted = band[:, dx : dx + w, :].astype(jnp.float32)
             corr = jnp.sum(f1 * shifted, axis=-1) * inv_c
             out_ref[0, :, :, dy * (2 * r + 1) + dx] = corr.astype(out_ref.dtype)
 
@@ -105,17 +99,17 @@ def cost_volume_pallas(
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, hp + 2 * r, w + 2 * r, c),
+                lambda ni, hi: (ni, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, w, nd),
             lambda ni, hi: (ni, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * r, w + 2 * r, c), f1.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(f1p, f2p)
     return out[:, :h]
 

@@ -90,67 +90,57 @@ def warp_validity(shape_hw, flow: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _warp_kernel(flow_ref, img_hbm, out_ref, img_vmem, sem, *, max_disp: int, tile_h: int):
-    """Grid = (N, H/tile_h). Loads rows [i*th - D, i*th + th + D) of the
-    (pre-padded) image; per-pixel 4-tap gather happens within the VMEM band.
+def _warp_kernel(flow_ref, img_ref, out_ref, *, max_disp: int, tile_h: int):
+    """Grid = (N, H/tile_h). Padded image [1, H+2D+1, W+2D+1, C] resident in
+    VMEM per sample.
 
-    The vertical tap index is resolved by a static loop over the 2D+1
-    candidate rows with select-accumulate (VPU); the horizontal tap uses the
-    same trick over 2D+1 candidate columns, giving an O((2D+1)*HWC) +
-    O((2D+1)*HWC) two-pass separable gather instead of (2D+1)^2.
-    Pass 1 (vertical): for each output pixel, interpolate rows -> a [th, W+2D, C]
-    band already vertically sampled. Pass 2 (horizontal): interpolate columns.
-    Separability holds because bilinear is a tensor product of 1-D kernels.
+    Mosaic constraints (this JAX version): gather is 2-D-only with
+    operand-shaped indices, and reshapes that collapse tiled dims don't
+    lower — so per-pixel 4-tap sampling is expressed gather-free as a
+    select-accumulate over the (2D+2)^2 integer offsets with separable tent
+    weights:
+
+      out = sum_{dy,dx} ly(dy) * lx(dx) * img[y+dy, x+dx]
+      ly(dy) = (1-fy)[y0==dy] + fy[y0==dy-1]   (and same for lx)
+
+    The offset loop is a lax.fori_loop (dynamic slice starts) so only one
+    accumulator + one band stay live in VMEM. Pure VPU; same structure as
+    the cost-volume kernel. A gather-based variant is a future optimization
+    once Mosaic supports non-same-shape lane gathers.
     """
     d = max_disp
-    n = pl.program_id(0)
     i = pl.program_id(1)
     _, th, w, _ = out_ref.shape
-    copy = pltpu.make_async_copy(
-        img_hbm.at[n, pl.ds(i * tile_h, tile_h + 2 * d + 1)],
-        img_vmem,
-        sem,
-    )
-    copy.start()
+    c = img_ref.shape[-1]
     flow = flow_ref[0].astype(jnp.float32)  # [th, w, 2]
     u = jnp.clip(flow[..., 0], -d, d)
     v = jnp.clip(flow[..., 1], -d, d)
-    y0f = jnp.floor(v)
-    fy = v - y0f
-    x0f = jnp.floor(u)
-    fx = u - x0f
-    y0 = y0f.astype(jnp.int32)  # in [-d, d]
-    x0 = x0f.astype(jnp.int32)
-    copy.wait()
+    y0 = jnp.floor(v).astype(jnp.int32)  # in [-d, d]
+    fy = v - y0.astype(jnp.float32)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    fx = u - x0.astype(jnp.float32)
 
-    wp = w + 2 * d + 1  # padded width of the VMEM band
-    # Pass 1: vertical interpolation into a [th, wp, C] buffer.
-    # img_vmem row (local) r corresponds to source row (i*th + r - d).
-    # Output pixel (y, x) needs source rows y + y0 and y + y0 + 1, i.e.
-    # local rows y + d + y0 (+1). Static loop over candidate offsets.
-    c = img_vmem.shape[-1]
-    vert = jnp.zeros((th, wp, c), jnp.float32)
-    for dy in range(-d, d + 1):
-        # rows y + d + dy for y in [0, th): slice [d+dy : d+dy+th]
-        row_a = img_vmem[d + dy : d + dy + th, :, :].astype(jnp.float32)
-        row_b = img_vmem[d + dy + 1 : d + dy + 1 + th, :, :].astype(jnp.float32)
-        sel = (y0 == dy).astype(jnp.float32)  # [th, w]
-        # weight applies per output pixel; broadcast over the padded width by
-        # padding the selector/frac to wp (taps beyond w are never selected
-        # by pass 2's column window, values don't matter — use edge pad).
-        selp = jnp.pad(sel, ((0, 0), (d, d + 1)), mode="edge")[..., None]
-        fyp = jnp.pad(fy, ((0, 0), (d, d + 1)), mode="edge")[..., None]
-        vert = vert + selp * ((1.0 - fyp) * row_a + fyp * row_b)
+    row0 = i * tile_h  # block's first output row; padded img row = row + d
+    span = 2 * d + 2
 
-    # Pass 2: horizontal interpolation from vert[th, wp, C] -> out [th, w, C].
-    out = jnp.zeros((th, w, c), jnp.float32)
-    for dx in range(-d, d + 1):
-        col_a = vert[:, d + dx : d + dx + w, :]
-        col_b = vert[:, d + dx + 1 : d + dx + 1 + w, :]
-        sel = (x0 == dx).astype(jnp.float32)[..., None]
-        fxe = fx[..., None]
-        out = out + sel * ((1.0 - fxe) * col_a + fxe * col_b)
-    out_ref[0] = out.astype(out_ref.dtype)
+    def body(k, acc):
+        dy = k // span - d
+        dx = k % span - d
+        ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
+            y0 == dy - 1
+        ).astype(jnp.float32)
+        lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
+            x0 == dx - 1
+        ).astype(jnp.float32)
+        band = img_ref[
+            0, pl.ds(row0 + d + dy, th), pl.ds(d + dx, w), :
+        ].astype(jnp.float32)
+        return acc + (ly * lx)[..., None] * band
+
+    acc = jax.lax.fori_loop(
+        0, span * span, body, jnp.zeros((th, w, c), jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tile_h"))
@@ -183,17 +173,17 @@ def bilinear_warp_pallas(
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, hp + 2 * d + 1, w + 2 * d + 1, c),
+                lambda ni, hi: (ni, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, tile_h, w, c),
             lambda ni, hi: (ni, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * d + 1, w + 2 * d + 1, c), img.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(flowp, imgp)
     return out[:, :h]
 
