@@ -90,102 +90,131 @@ def warp_validity(shape_hw, flow: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _warp_kernel(flow_ref, img_ref, out_ref, *, max_disp: int, tile_h: int):
-    """Grid = (N, H/tile_h). Padded image [1, H+2D+1, W+2D+1, C] resident in
-    VMEM per sample.
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    Mosaic constraints (this JAX version): gather is 2-D-only with
-    operand-shaped indices, and reshapes that collapse tiled dims don't
-    lower — so per-pixel 4-tap sampling is expressed gather-free as a
-    select-accumulate over the (2D+2)^2 integer offsets with separable tent
-    weights:
+
+def _warp_kernel(flow_ref, img_a, img_b, img_c, out_ref, *, max_disp: int):
+    """flow block [1,th,2,Wp]; edge-padded image as THREE consecutive
+    row-blocks (hi, hi+1, hi+2) whose concatenation contains the (2d+2)-row
+    halo band — overlapping windows from disjoint BlockSpec blocks,
+    pipelined by Pallas (no manual DMA). Channels-on-sublanes layout
+    [.., C, W]: W rides the lanes (see cost_volume.py for the rationale).
+
+    Mosaic constraints (measured on this toolchain): dynamic gathers only
+    lower within a single vreg, and unaligned second-minor (W) slices are
+    illegal for packed bf16 — so per-pixel 4-tap sampling is gather-free:
+    a select-accumulate over the (2d+2)^2 integer offsets with separable
+    tent weights,
 
       out = sum_{dy,dx} ly(dy) * lx(dx) * img[y+dy, x+dx]
-      ly(dy) = (1-fy)[y0==dy] + fy[y0==dy-1]   (and same for lx)
+      ly(dy) = (1-fy)[y0==dy] + fy[y0==dy-1]     (same for lx),
 
-    The offset loop is a lax.fori_loop (dynamic slice starts) so only one
-    accumulator + one band stay live in VMEM. Pure VPU; same structure as
-    the cost-volume kernel. A gather-based variant is a future optimization
-    once Mosaic supports non-same-shape lane gathers.
+    where dx shifts are dynamic lane rolls (one live rolled band per outer
+    fori_loop step — unrolling blows the 16MB scoped-VMEM limit) and dy
+    offsets are row slices on the untiled H axis. f32 accumulation (VPU).
     """
     d = max_disp
-    i = pl.program_id(1)
-    _, th, w, _ = out_ref.shape
-    c = img_ref.shape[-1]
-    flow = flow_ref[0].astype(jnp.float32)  # [th, w, 2]
-    u = jnp.clip(flow[..., 0], -d, d)
-    v = jnp.clip(flow[..., 1], -d, d)
+    _, th, c, wp = out_ref.shape
+    span = 2 * d + 2
+
+    flow = flow_ref[0].astype(jnp.float32)  # [th, 2, Wp]
+    u = jnp.clip(flow[:, 0], -d, d)  # [th, Wp]
+    v = jnp.clip(flow[:, 1], -d, d)
     y0 = jnp.floor(v).astype(jnp.int32)  # in [-d, d]
     fy = v - y0.astype(jnp.float32)
     x0 = jnp.floor(u).astype(jnp.int32)
     fx = u - x0.astype(jnp.float32)
 
-    row0 = i * tile_h  # block's first output row; padded img row = row + d
-    span = 2 * d + 2
+    band = jnp.concatenate([img_a[0], img_b[0], img_c[0]], axis=0)
+    band = band[: th + span].astype(jnp.float32)  # [th+span, C, Wp]
 
-    def body(k, acc):
-        dy = k // span - d
-        dx = k % span - d
+    # dy: static Python loop (static value slices — dynamic_slice on values
+    # does not lower in Mosaic); dx: fori_loop with a dynamic lane roll so
+    # only ONE rolled band is live at a time (unrolling blows scoped VMEM).
+    acc = jnp.zeros((th, c, wp), jnp.float32)
+    for k in range(span):
+        dy = k - d
         ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
             y0 == dy - 1
         ).astype(jnp.float32)
-        lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
-            x0 == dx - 1
-        ).astype(jnp.float32)
-        band = img_ref[
-            0, pl.ds(row0 + d + dy, th), pl.ds(d + dx, w), :
-        ].astype(jnp.float32)
-        return acc + (ly * lx)[..., None] * band
+        sub = band[k : k + th]  # [th, C, Wp]
 
-    acc = jax.lax.fori_loop(
-        0, span * span, body, jnp.zeros((th, w, c), jnp.float32)
-    )
+        def body_dx(j, acc2, sub=sub, ly=ly):
+            dx = j - d
+            lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
+                x0 == dx - 1
+            ).astype(jnp.float32)
+            # shifted[..., x] = sub[..., x + d + dx] = sub[..., x + j];
+            # wrap-around lands at x >= W (discarded by the final slice).
+            rolled = pltpu.roll(sub, shift=(wp - j) % wp, axis=2)
+            return acc2 + (ly * lx)[:, None, :] * rolled
+
+        acc = jax.lax.fori_loop(0, span, body_dx, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tile_h"))
 def bilinear_warp_pallas(
-    img: Array, flow: Array, max_disp: int = 8, tile_h: int = 32
+    img: Array, flow: Array, max_disp: int = 8, tile_h: int = 16
 ) -> Array:
     """Bounded-displacement Pallas warp: |flow| is clipped to max_disp.
 
     Matches `bilinear_warp_xla(img, clip(flow))` with edge-clamped sampling
     implemented via edge padding of the source image.
+    Requires 2*max_disp + 2 <= 2*tile_h (halo covered by two extra blocks).
     """
     n, h, w, c = img.shape
     d = max_disp
+    if 2 * d + 2 > 2 * tile_h:
+        raise ValueError(f"2*max_disp+2={2*d+2} must be <= 2*tile_h={2*tile_h}")
+    wp = _round_up(w + 2 * d + 1, 128)
     h_pad = (-h) % tile_h
-    # Edge-pad: clamped border sampling == sampling the edge-padded image.
-    imgp = jnp.pad(
-        img, ((0, 0), (d, d + h_pad + 1), (d, d + 1), (0, 0)), mode="edge"
-    )
-    # After padding, source row y (orig) is at row y + d; each row band DMA
-    # reads tile_h + 2d + 1 rows, covered by the +1 trailing pads above.
-    flowp = jnp.pad(flow, ((0, 0), (0, h_pad), (0, 0), (0, 0)))
     hp = h + h_pad
+    # Channels-on-sublanes layout; edge-pad: clamped border sampling ==
+    # sampling the edge-padded image. Source row y (orig) is at padded row
+    # y + d; rows padded to hp + 2 tiles so the hi+1/hi+2 views exist.
+    imgt = jnp.transpose(img, (0, 1, 3, 2))  # [N, H, C, W]
+    flowt = jnp.transpose(flow, (0, 1, 3, 2))  # [N, H, 2, W]
+    imgp = jnp.pad(
+        imgt,
+        ((0, 0), (d, hp + 2 * tile_h - h - d), (0, 0), (d, wp - w - d)),
+        mode="edge",
+    )
+    flowp = jnp.pad(flowt, ((0, 0), (0, h_pad), (0, 0), (0, wp - w)))
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, max_disp=d, tile_h=tile_h),
-        out_shape=jax.ShapeDtypeStruct((n, hp, w, c), img.dtype),
+        functools.partial(_warp_kernel, max_disp=d),
+        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
         grid=(n, hp // tile_h),
         in_specs=[
             pl.BlockSpec(
-                (1, tile_h, w, 2),
+                (1, tile_h, 2, wp),
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, hp + 2 * d + 1, w + 2 * d + 1, c),
-                lambda ni, hi: (ni, 0, 0, 0),
+                (1, tile_h, c, wp),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, c, wp),
+                lambda ni, hi: (ni, hi + 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, c, wp),
+                lambda ni, hi: (ni, hi + 2, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, w, c),
+            (1, tile_h, c, wp),
             lambda ni, hi: (ni, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    )(flowp, imgp)
-    return out[:, :h]
+    )(flowp, imgp, imgp, imgp)
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
 
 
 def bilinear_warp(
