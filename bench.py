@@ -12,7 +12,11 @@ Prints ONE JSON line:
 
 vs_baseline is relative to the recorded CPU denominator (BASELINE.md:
 "our CPU frames/s becomes the denominator for the 10x target").
-Run `python bench.py --record-cpu-baseline` on CPU to refresh it.
+Run `python bench.py --record-cpu-baseline` ON CPU to refresh it; the file
+is committed so the ratio is always against a real measurement.
+
+Per-stage wall times (flow / smooth / render) are reported on stderr as one
+JSON line per stage (SURVEY.md §5 observability).
 """
 
 from __future__ import annotations
@@ -24,18 +28,15 @@ import os
 import sys
 import time
 
-# CPU denominator, measured on this machine (see BASELINE.md §"First-run").
-CPU_BASELINE_FPS = None  # loaded from baseline file, fallback below
 _BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
-_CPU_FALLBACK_FPS = 1.0
 
 
-def _load_cpu_baseline() -> float:
+def _load_cpu_baseline():
     try:
         with open(_BASELINE_FILE) as f:
-            return float(json.load(f)["fps"])
+            return json.load(f)
     except Exception:
-        return _CPU_FALLBACK_FPS
+        return None
 
 
 def main() -> int:
@@ -47,6 +48,7 @@ def main() -> int:
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     ap.add_argument("--record-cpu-baseline", action="store_true")
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    ap.add_argument("--stages", action="store_true", help="also time each stage")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +67,9 @@ def main() -> int:
 
     cfg = Config()
     cfg = dataclasses.replace(
-        cfg, flow=dataclasses.replace(cfg.flow, kernel_impl=impl, compute_dtype=dtype)
+        cfg,
+        flow=dataclasses.replace(cfg.flow, kernel_impl=impl, compute_dtype=dtype),
+        render=dataclasses.replace(cfg.render, kernel_impl=impl),
     )
     params = default_params(cfg)
 
@@ -86,6 +90,26 @@ def main() -> int:
         with jax.profiler.trace(args.profile):
             jax.block_until_ready(run(frames))
 
+    if args.stages:
+        def stage_time(name, fn, iters=3):
+            jax.block_until_ready(fn())
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+            print(
+                json.dumps(
+                    {"stage": name, "ms": round(dt * 1e3, 2),
+                     "fps": round(t / dt, 2), "backend": backend}
+                ),
+                file=sys.stderr,
+            )
+            return out
+
+        flow = stage_time("flow", lambda: clip_flow(params, frames, cfg))
+        stage_time("smooth_render", lambda: smooth_and_render(frames, flow, cfg))
+
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run(frames)
@@ -94,20 +118,41 @@ def main() -> int:
     fps = args.iters * t / dt
 
     if args.record_cpu_baseline:
-        with open(_BASELINE_FILE, "w") as f:
-            json.dump(
-                {"fps": fps, "backend": backend, "shape": [t, h, w]}, f
+        if backend != "cpu":
+            print(
+                f"refusing --record-cpu-baseline on backend={backend!r}: the "
+                "denominator must be a CPU measurement (ADVICE.md r1)",
+                file=sys.stderr,
             )
+            return 2
+        with open(_BASELINE_FILE, "w") as f:
+            json.dump({"fps": fps, "backend": backend, "shape": [t, h, w]}, f)
         print(f"recorded CPU baseline: {fps:.3f} frames/s", file=sys.stderr)
 
     base = _load_cpu_baseline()
+    if base is None:
+        print(
+            "warning: no committed CPU baseline (.bench_cpu_baseline.json); "
+            "vs_baseline is null — run `JAX_PLATFORMS=cpu python bench.py "
+            "--record-cpu-baseline` first",
+            file=sys.stderr,
+        )
+        ratio = None
+    else:
+        if base.get("shape") != [t, h, w]:
+            print(
+                f"warning: baseline shape {base.get('shape')} != bench shape "
+                f"{[t, h, w]}; ratio is cross-config",
+                file=sys.stderr,
+            )
+        ratio = round(fps / float(base["fps"]), 3)
     print(
         json.dumps(
             {
                 "metric": f"stabilize_{h}p_fps",
                 "value": round(fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / base, 3),
+                "vs_baseline": ratio,
             }
         )
     )

@@ -20,6 +20,10 @@ _PLATFORM = os.environ.get("VSTAB_TEST_PLATFORM", "cpu")
 if _PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: TPU test rounds are compile-dominated.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

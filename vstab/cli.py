@@ -1,0 +1,168 @@
+"""Command-line interface (SURVEY.md L8, §2.1 row 18; VERDICT.md r1 item 3).
+
+  python -m vstab stabilize in.mp4 out.mp4 [--config cfg.json] [--crop auto]
+  python -m vstab eval --dataset /path/to/deepstab --results results.jsonl
+  python -m vstab bench [--frames 48 --height 720 --width 1280]
+
+The reference's analogue is a main.py driver script [RECON, SURVEY.md §1.1];
+here the CLI is a thin shell over the library: config JSON round-trips
+through core.config.Config, videos go through io/video.py (OpenCV, host
+side), and all compute runs under the jitted pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+
+log = logging.getLogger("vstab.cli")
+
+
+def _load_config(args) -> "Config":
+    from vstab.core.config import Config, preset
+
+    if getattr(args, "preset", None):
+        cfg = preset(args.preset)
+    elif getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = Config()
+    if getattr(args, "crop", None):
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, crop_mode=args.crop)
+        )
+    if getattr(args, "method", None):
+        cfg = dataclasses.replace(
+            cfg, smooth=dataclasses.replace(cfg.smooth, method=args.method)
+        )
+    if getattr(args, "impl", None) and args.impl != "auto":
+        cfg = dataclasses.replace(
+            cfg,
+            flow=dataclasses.replace(cfg.flow, kernel_impl=args.impl),
+            render=dataclasses.replace(cfg.render, kernel_impl=args.impl),
+        )
+    return cfg
+
+
+def cmd_stabilize(args) -> int:
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vstab.io.video import read_video, write_video
+    from vstab.pipeline import default_params, stabilize
+
+    cfg = _load_config(args)
+    params = default_params(cfg, ckpt_dir=args.ckpt_dir)
+    frames, fps = read_video(args.input, max_frames=args.max_frames)
+    log.info("read %s: %s frames %sx%s @ %.1f fps", args.input,
+             *frames.shape[:3], fps)
+    t0 = time.perf_counter()
+    if args.blocked or frames.shape[0] > cfg.dist.time_block_len * 4:
+        from vstab.pipeline_blocked import stabilize_blocked
+
+        out = stabilize_blocked(jnp.asarray(frames), params, cfg)
+    else:
+        out, _ = stabilize(jnp.asarray(frames), params, cfg)
+    out = np.asarray(jax.block_until_ready(out))
+    wall = time.perf_counter() - t0
+    log.info("stabilized %d frames in %.2fs (%.1f frames/s)",
+             frames.shape[0], wall, frames.shape[0] / wall)
+    write_video(args.output, out, fps, codec=cfg.io.output_codec)
+    print(json.dumps({
+        "input": args.input, "output": args.output,
+        "frames": int(frames.shape[0]),
+        "fps_processed": round(frames.shape[0] / wall, 2),
+    }))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from vstab.eval.deepstab import aggregate, report_table, run_sweep
+
+    cfg = _load_config(args)
+    results = run_sweep(
+        args.dataset,
+        args.results,
+        cfg=cfg,
+        n_synthetic=args.n_synthetic,
+        max_frames=args.max_frames,
+        data_parallel=args.data_parallel,
+        save_videos_dir=args.save_videos,
+    )
+    print(report_table(results))
+    print(json.dumps({"aggregate": aggregate(results)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"]
+    for k in ("frames", "height", "width", "iters"):
+        cmd += [f"--{k}", str(getattr(args, k))]
+    if args.impl != "auto":
+        cmd += ["--impl", args.impl]
+    if args.stages:
+        cmd += ["--stages"]
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(message)s"
+    )
+    ap = argparse.ArgumentParser(prog="vstab")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("stabilize", help="stabilize a video file")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--config", help="config JSON (core.config.Config)")
+    sp.add_argument("--preset", help="milestone preset name (core.config)")
+    sp.add_argument("--crop", choices=["fixed", "auto", "none"])
+    sp.add_argument("--method", choices=["affine", "sparse_ls"])
+    sp.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    sp.add_argument("--max-frames", type=int, default=None)
+    sp.add_argument("--ckpt-dir", default="ckpts")
+    sp.add_argument("--blocked", action="store_true",
+                    help="force temporal-block streaming execution")
+    sp.set_defaults(fn=cmd_stabilize)
+
+    ep = sub.add_parser("eval", help="metric sweep over a dataset")
+    ep.add_argument("--dataset", default=None,
+                    help="DeepStab-layout dir; synthetic fallback if unset")
+    ep.add_argument("--results", default="results.jsonl")
+    ep.add_argument("--config", help="config JSON")
+    ep.add_argument("--preset")
+    ep.add_argument("--crop", choices=["fixed", "auto", "none"])
+    ep.add_argument("--method", choices=["affine", "sparse_ls"])
+    ep.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    ep.add_argument("--n-synthetic", type=int, default=8)
+    ep.add_argument("--max-frames", type=int, default=None)
+    ep.add_argument("--data-parallel", action="store_true",
+                    help="shard same-shape clips over the data mesh axis")
+    ep.add_argument("--save-videos", default=None)
+    ep.set_defaults(fn=cmd_eval)
+
+    bp = sub.add_parser("bench", help="throughput benchmark (bench.py)")
+    bp.add_argument("--frames", type=int, default=48)
+    bp.add_argument("--height", type=int, default=720)
+    bp.add_argument("--width", type=int, default=1280)
+    bp.add_argument("--iters", type=int, default=3)
+    bp.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    bp.add_argument("--stages", action="store_true")
+    bp.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

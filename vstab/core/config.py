@@ -69,6 +69,11 @@ class RenderConfig:
     crop_mode: str = "fixed"
     fixed_crop_ratio: float = 0.9  # keep central 90% for crop_mode='fixed'
     border_value: float = 0.0
+    # Bound (px) on the per-frame mean-removed residual displacement handled
+    # exactly by the two-pass render warp (kernels/warp1d.py).
+    max_residual_disp: int = 16
+    # 'auto' | 'pallas' | 'xla' — render warp kernel implementation.
+    kernel_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,9 +31,12 @@ from vstab.core.config import Config
 from vstab.dist.halo import extend_right, exclusive_prefix_sum
 from vstab.dist.mesh import TIME_AXIS, make_mesh
 from vstab.dist.schur_dist import schur_solve_shard
-from vstab.flow.pwcnet import estimate_flow
-from vstab.kernels import bilinear_warp_xla, warp_validity
-from vstab.render.render import _auto_scale, _compose_zoom, grid_to_flow
+from vstab.kernels import warp_twopass, warp_validity
+from vstab.render.render import (
+    _auto_scale_per_frame,
+    grid_to_flow,
+    zoom_resample,
+)
 from vstab.smooth.sparse_ls import (
     _einsum,
     spatial_modes,
@@ -42,27 +45,6 @@ from vstab.smooth.sparse_ls import (
 )
 
 Array = jax.Array
-
-
-def _chunked_pair_flow(
-    params, frames: Array, cfg: Config, pair_chunk: int = 8
-) -> Array:
-    """Consecutive-pair flow, scanned in fixed-size chunks: [T+1] -> [T]."""
-    t1, h, w, c = frames.shape
-    n_pairs = t1 - 1
-    n_chunks = -(-n_pairs // pair_chunk)
-    pad = n_chunks * pair_chunk - n_pairs
-    f1 = jnp.concatenate([frames[:-1], jnp.repeat(frames[-1:], pad, 0)], 0)
-    f2 = jnp.concatenate([frames[1:], jnp.repeat(frames[-1:], pad, 0)], 0)
-    f1 = f1.reshape(n_chunks, pair_chunk, h, w, c)
-    f2 = f2.reshape(n_chunks, pair_chunk, h, w, c)
-
-    def body(_, pair):
-        a, b = pair
-        return None, estimate_flow(params, a, b, cfg.flow)
-
-    _, flows = jax.lax.scan(body, None, (f1, f2))
-    return flows.reshape(n_chunks * pair_chunk, h, w, 2)[:n_pairs]
 
 
 def _stab_shard(
@@ -75,6 +57,7 @@ def _stab_shard(
     alpha: Array,
     *,
     cfg: Config,
+    t_real: int,
 ) -> Array:
     """Per-shard body (runs under shard_map over the "time" axis).
 
@@ -89,8 +72,10 @@ def _stab_shard(
 
     # --- 1. flow with a 1-frame right halo (ppermute; SURVEY.md §2.2
     # "ring-attention analogue"). Last shard edge-replicates: freeze-frame.
+    from vstab.pipeline import clip_flow
+
     frames_ext = extend_right(frames, 1, TIME_AXIS)
-    flow = _chunked_pair_flow(params, frames_ext, cfg)  # [T_loc, H, W, 2]
+    flow = clip_flow(params, frames_ext, cfg)  # [T_loc, H, W, 2]
 
     # --- 2. vertex profiles via distributed exclusive cumsum.
     motion = vertex_motion(flow, sc.grid_size)  # [T_loc, GH, GW, 2]
@@ -112,17 +97,30 @@ def _stab_shard(
     p = _einsum("ig,tgc->tic", v, ptil.reshape(t_loc, g, 2))
     disp = cvec - p  # stabilizing displacement, content-motion convention
 
-    # --- 4. render (local warp; 'auto' crop needs one global pmin).
+    # --- 4. render: shard-local two-pass warp (kernels/warp1d.py); the
+    # crop zoom is a separable resample; 'auto' needs one global pmin over
+    # per-frame scales, with freeze-frame PADDED frames excluded so padding
+    # cannot change the crop of the real output (ADVICE.md r1, last item).
     warp_flow = grid_to_flow(disp.reshape(t_loc, gh, gw, 2), h, w)
     rc = cfg.render
-    if rc.crop_mode == "fixed":
-        warp_flow = _compose_zoom(warp_flow, jnp.float32(rc.fixed_crop_ratio))
-    elif rc.crop_mode == "auto":
-        s = jax.lax.pmin(_auto_scale(warp_flow), TIME_AXIS)
-        warp_flow = _compose_zoom(warp_flow, s)
-    out = bilinear_warp_xla(frames, warp_flow)
+    out = warp_twopass(
+        frames, warp_flow, max_disp=rc.max_residual_disp, impl=rc.kernel_impl
+    )
     mask = warp_validity((h, w), warp_flow)[..., None]
-    return out * mask + rc.border_value * (1.0 - mask)
+    if rc.crop_mode == "none":
+        return out * mask + rc.border_value * (1.0 - mask)
+    if rc.crop_mode == "fixed":
+        s = jnp.float32(rc.fixed_crop_ratio)
+    else:  # 'auto'
+        gidx = jax.lax.axis_index(TIME_AXIS) * t_loc + jnp.arange(t_loc)
+        sper = jnp.where(
+            gidx < t_real, _auto_scale_per_frame(warp_flow), 1.0
+        )
+        s = jax.lax.pmin(jnp.min(sper), TIME_AXIS)
+    outz = zoom_resample(out, s)
+    maskz = zoom_resample(mask, s)
+    valid = (maskz > 0.999).astype(outz.dtype)
+    return outz * valid + rc.border_value * (1.0 - valid)
 
 
 def _band_diagonals(t_pad: int, sc) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -137,10 +135,10 @@ def _band_diagonals(t_pad: int, sc) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def _stabilize_padded(params, frames, td0, td1, td2, v, alpha, cfg, mesh):
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "t_real"))
+def _stabilize_padded(params, frames, td0, td1, td2, v, alpha, cfg, mesh, t_real):
     fn = jax.shard_map(
-        functools.partial(_stab_shard, cfg=cfg),
+        functools.partial(_stab_shard, cfg=cfg, t_real=t_real),
         mesh=mesh,
         in_specs=(
             P(),
@@ -189,7 +187,7 @@ def stabilize_sharded(
         params, frames, *(jax.device_put(x, ts) for x in (td0, td1, td2)),
         jax.device_put(v, NamedSharding(mesh, P())),
         jax.device_put(alpha, NamedSharding(mesh, P())),
-        cfg, mesh,
+        cfg, mesh, t,
     )
     return out[:t]
 

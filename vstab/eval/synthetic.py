@@ -14,9 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vstab.kernels import bilinear_warp_xla
-from vstab.render.render import affine_to_flow
-
 Array = jax.Array
 
 
@@ -64,6 +61,33 @@ def jitter_trajectory(
     return jnp.asarray(transforms)
 
 
+def _render_frame(scene: Array, cam: Array, h: int, w: int) -> Array:
+    """Render one [h,w,3] frame: pixel p shows scene point cam(p), bilinear."""
+    sh, sw, c = scene.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = cam[0, 0] * xx + cam[0, 1] * yy + cam[0, 2]
+    sy = cam[1, 0] * xx + cam[1, 1] * yy + cam[1, 2]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx, fy = sx - x0, sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        yi = jnp.clip(yi, 0, sh - 1)
+        xi = jnp.clip(xi, 0, sw - 1)
+        lin = (yi * sw + xi).reshape(-1)
+        return jnp.take(scene.reshape(sh * sw, c), lin, axis=0).reshape(h, w, c)
+
+    return (
+        ((1 - fx) * (1 - fy))[..., None] * tap(y0, x0)
+        + (fx * (1 - fy))[..., None] * tap(y0, x0 + 1)
+        + ((1 - fx) * fy)[..., None] * tap(y0 + 1, x0)
+        + (fx * fy)[..., None] * tap(y0 + 1, x0 + 1)
+    )
+
+
 def make_shaky_clip(
     t: int = 30,
     h: int = 256,
@@ -74,8 +98,10 @@ def make_shaky_clip(
     """Returns (frames [T,H,W,3], true camera transforms [T,2,3]).
 
     Frame t is the scene viewed through camera C_t: frame pixel p shows
-    scene point C_t(p) — rendered by backward-warping the scene by C_t.
-    The scene is larger than the frame so borders stay valid.
+    scene point C_t(p). The scene is larger than the frame so borders stay
+    valid. Rendered one frame at a time (lax.map) directly at the OUTPUT
+    resolution — the round-1 version warped the full 2x-margin scene for all
+    T frames at once and OOM'd the 48x720p bench config (VERDICT.md item 1).
     """
     margin_y, margin_x = h // 2, w // 2
     scene = checker_scene(h + 2 * margin_y, w + 2 * margin_x, seed=seed)
@@ -83,11 +109,12 @@ def make_shaky_clip(
     # Offset camera so frame (0,0) maps into the scene interior.
     offset = jnp.asarray([margin_x, margin_y], jnp.float32)
     cams_scene = cams.at[:, :, 2].add(offset)
-    flow = affine_to_flow(cams_scene, scene.shape[0], scene.shape[1])
-    warped = bilinear_warp_xla(
-        jnp.broadcast_to(scene, (t, *scene.shape)), flow
+    render = jax.jit(
+        lambda cs: jax.lax.map(
+            lambda cam: _render_frame(scene, cam, h, w), cs
+        )
     )
-    frames = warped[:, :h, :w]
+    frames = render(cams_scene)
     return frames, cams
 
 

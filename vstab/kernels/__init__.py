@@ -11,6 +11,15 @@ from vstab.kernels.warp import (
     bilinear_warp_xla,
     warp_validity,
 )
+from vstab.kernels.warp1d import (
+    hwarp,
+    hwarp_pallas,
+    hwarp_xla,
+    vwarp,
+    vwarp_pallas,
+    vwarp_xla,
+    warp_twopass,
+)
 
 __all__ = [
     "cost_volume",
@@ -20,4 +29,11 @@ __all__ = [
     "bilinear_warp_pallas",
     "bilinear_warp_xla",
     "warp_validity",
+    "vwarp",
+    "hwarp",
+    "vwarp_xla",
+    "hwarp_xla",
+    "vwarp_pallas",
+    "hwarp_pallas",
+    "warp_twopass",
 ]

@@ -1,0 +1,348 @@
+"""Separable 1D warp kernels and the two-pass full-frame warp.
+
+TPU-native redesign of the render-path resampler (SURVEY.md §3.1 "HOT LOOP 3",
+VERDICT.md round-1 item 1: the gather-based full-res warp made TPU ≈ CPU).
+Reference equivalent: `tf.contrib.image.dense_image_warp`-style resampler
+[EXT — reference mount empty, SURVEY.md §0].
+
+Design: TPU has no fast arbitrary gather, but a *bounded* 1D resample is an
+O(span) select-accumulate on the VPU (span = 2·max_disp+2), vs O(span²) for
+the 2D select-accumulate kernel in `warp.py`. A general smooth warp
+factorizes exactly into
+  1. a per-frame integer mean shift (roll — pure data movement),
+  2. a vertical 1D pass   A(r,x) = F(r + vv(r,x), x),
+  3. a horizontal 1D pass out(y,x) = A(y, x + u(y,x)),
+where vv is the vertical field resampled at the *inverse* of the horizontal
+map (computed by fixed-point iteration; error O(d·|∂u/∂x|^k) — sub-0.1px for
+stabilization warps). Both 1D passes are Pallas kernels with XLA twins that
+implement bit-identical math (same clipping) for CPU/testing.
+
+Output contract of `warp_twopass`: equals the ideal backward bilinear warp
+wherever `warp_validity(flow) == 1` AND the post-mean-shift residual
+displacement is within `max_disp`; border pixels (validity 0) hold
+unspecified values and must be masked by the caller (the renderer does).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA twins (reference semantics; also the CPU path)
+# ---------------------------------------------------------------------------
+
+
+def _take_rows(img: Array, rows: Array) -> Array:
+    """img [H,C,W], rows [H,W] int -> out[y,c,x] = img[rows[y,x], c, x]."""
+    h, c, w = img.shape
+    # one-hot contraction would be [H,H] per column; use take_along_axis:
+    idx = jnp.broadcast_to(rows[:, None, :], (h, c, w))
+    return jnp.take_along_axis(img, idx, axis=0)
+
+
+def vwarp_xla(
+    img: Array, v: Array, max_disp: int = 16, mode: str = "edge"
+) -> Array:
+    """Vertical 1D warp, [N,H,W,C] by v [N,H,W] (displacement in rows).
+    mode: out-of-range taps 'edge'-clamp or 'wrap' (periodic — used by
+    warp_twopass, whose mean-shift roll puts edge content there)."""
+
+    def one(im, vf):
+        imt = jnp.transpose(im, (0, 2, 1))  # [H,C,W]
+        h, c, w = imt.shape
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        sy = yy + jnp.clip(vf.astype(jnp.float32), -max_disp, max_disp)
+        y0f = jnp.floor(sy)
+        fy = (sy - y0f)[:, None, :]
+        y0 = y0f.astype(jnp.int32)
+        fix = (lambda i: i % h) if mode == "wrap" else (
+            lambda i: jnp.clip(i, 0, h - 1)
+        )
+        a = _take_rows(imt, fix(y0))
+        b = _take_rows(imt, fix(y0 + 1))
+        out = (1.0 - fy) * a.astype(jnp.float32) + fy * b.astype(jnp.float32)
+        return jnp.transpose(out.astype(im.dtype), (0, 2, 1))
+
+    return jax.vmap(one)(img, v)
+
+
+def hwarp_xla(
+    img: Array, u: Array, max_disp: int = 16, mode: str = "edge"
+) -> Array:
+    """Horizontal 1D warp, [N,H,W,C] by u [N,H,W] (displacement in cols).
+    mode: 'edge' clamp or 'wrap' (see vwarp_xla)."""
+
+    def one(im, uf):
+        h, w, c = im.shape
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        sx = xx + jnp.clip(uf.astype(jnp.float32), -max_disp, max_disp)
+        x0f = jnp.floor(sx)
+        fx = (sx - x0f)[..., None]
+        x0 = x0f.astype(jnp.int32)
+        fix = (lambda i: i % w) if mode == "wrap" else (
+            lambda i: jnp.clip(i, 0, w - 1)
+        )
+        idx0 = jnp.broadcast_to(fix(x0)[..., None], (h, w, c))
+        idx1 = jnp.broadcast_to(fix(x0 + 1)[..., None], (h, w, c))
+        a = jnp.take_along_axis(im, idx0, axis=1).astype(jnp.float32)
+        b = jnp.take_along_axis(im, idx1, axis=1).astype(jnp.float32)
+        return ((1.0 - fx) * a + fx * b).astype(im.dtype)
+
+    return jax.vmap(one)(img, u)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _vwarp_kernel(v_ref, img_a, img_b, img_c, out_ref, *, max_disp: int):
+    """Vertical pass. Blocks: v [1,th,wp]; image as THREE consecutive
+    row-blocks of the top-edge-padded image (halo 2d+2 <= 2*tile_h), layout
+    [1,th,C,wp] channels-on-sublanes (see warp.py for the Mosaic rationale).
+    Select-accumulate over the 2d+2 integer row offsets with tent weights —
+    static row slices on the untiled H axis, no gathers, no rolls."""
+    d = max_disp
+    _, th, c, wp = out_ref.shape
+    span = 2 * d + 2
+    v = jnp.clip(v_ref[0].astype(jnp.float32), -d, d)  # [th, wp]
+    y0 = jnp.floor(v).astype(jnp.int32)
+    fy = v - y0.astype(jnp.float32)
+    band = jnp.concatenate([img_a[0], img_b[0], img_c[0]], axis=0)
+    band = band[: th + span].astype(jnp.float32)  # [th+span, C, wp]
+    acc = jnp.zeros((th, c, wp), jnp.float32)
+    for k in range(span):
+        dy = k - d
+        ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
+            y0 == dy - 1
+        ).astype(jnp.float32)
+        acc = acc + ly[:, None, :] * band[k : k + th]
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _hwarp_kernel(u_ref, img_ref, out_ref, *, max_disp: int):
+    """Horizontal pass. No row halo; the x halo lives in the lane padding
+    (image edge-padded by d on the left). fori_loop over the 2d+2 column
+    offsets with a dynamic lane roll — one rolled band live at a time."""
+    d = max_disp
+    _, th, c, wp = out_ref.shape
+    span = 2 * d + 2
+    u = jnp.clip(u_ref[0].astype(jnp.float32), -d, d)  # [th, wp]
+    x0 = jnp.floor(u).astype(jnp.int32)
+    fx = u - x0.astype(jnp.float32)
+    img = img_ref[0].astype(jnp.float32)  # [th, C, wp]
+
+    def body(j, acc):
+        dx = j - d
+        lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
+            x0 == dx - 1
+        ).astype(jnp.float32)
+        # shifted[..., x] = img[..., x + j]; wrap lands in discarded padding.
+        rolled = pltpu.roll(img, shift=(wp - j) % wp, axis=2)
+        return acc + lx[:, None, :] * rolled
+
+    acc = jax.lax.fori_loop(
+        0, span, body, jnp.zeros((th, c, wp), jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "tile_h", "mode"))
+def vwarp_pallas(
+    img: Array, v: Array, max_disp: int = 16, tile_h: int = 32,
+    mode: str = "edge",
+) -> Array:
+    """Vertical 1D warp on TPU, [N,H,W,C] by v [N,H,W], |v| clipped to
+    max_disp. Requires 2*max_disp + 2 <= 2*tile_h. mode: 'edge'|'wrap'
+    out-of-range tap handling (implemented as the pad mode)."""
+    n, h, w, c = img.shape
+    d = max_disp
+    if 2 * d + 2 > 2 * tile_h:
+        raise ValueError(f"2*max_disp+2={2*d+2} must be <= 2*tile_h={2*tile_h}")
+    wp = _round_up(w, 128)
+    hp = _round_up(h, tile_h)
+    imgt = jnp.transpose(img, (0, 1, 3, 2))  # [N,H,C,W]
+    # Top edge-pad by d (clamped sampling == sampling the edge-padded image);
+    # bottom pad to hp + 2 tiles so the hi+1 / hi+2 block views exist.
+    imgp = jnp.pad(
+        imgt,
+        ((0, 0), (d, hp + 2 * tile_h - h - d), (0, 0), (0, 0)),
+        mode=mode,
+    )
+    imgp = jnp.pad(imgp, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    vp = jnp.pad(v, ((0, 0), (0, hp - h), (0, wp - w)))
+    out = pl.pallas_call(
+        functools.partial(_vwarp_kernel, max_disp=d),
+        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
+        grid=(n, hp // tile_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_h, wp), lambda ni, hi: (ni, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, c, wp), lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, c, wp), lambda ni, hi: (ni, hi + 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, c, wp), lambda ni, hi: (ni, hi + 2, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, c, wp), lambda ni, hi: (ni, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(vp, imgp, imgp, imgp)
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "tile_h", "mode"))
+def hwarp_pallas(
+    img: Array, u: Array, max_disp: int = 16, tile_h: int = 32,
+    mode: str = "edge",
+) -> Array:
+    """Horizontal 1D warp on TPU, [N,H,W,C] by u [N,H,W], |u| clipped to
+    max_disp. mode: 'edge'|'wrap' out-of-range tap handling."""
+    n, h, w, c = img.shape
+    d = max_disp
+    wp = _round_up(w + 2 * d + 1, 128)
+    hp = _round_up(h, tile_h)
+    imgt = jnp.transpose(img, (0, 1, 3, 2))  # [N,H,C,W]
+    # Left edge-pad by d; original column x sits at padded column x + d.
+    imgp = jnp.pad(
+        imgt, ((0, 0), (0, 0), (0, 0), (d, wp - w - d)), mode=mode
+    )
+    imgp = jnp.pad(imgp, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
+    out = pl.pallas_call(
+        functools.partial(_hwarp_kernel, max_disp=d),
+        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
+        grid=(n, hp // tile_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_h, wp), lambda ni, hi: (ni, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, c, wp), lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, c, wp), lambda ni, hi: (ni, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(up, imgp)
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
+
+
+def vwarp(
+    img: Array, v: Array, max_disp: int = 16, impl: str = "auto",
+    mode: str = "edge",
+) -> Array:
+    if _use_pallas(impl):
+        return vwarp_pallas(img, v, max_disp=max_disp, mode=mode)
+    return vwarp_xla(img, v, max_disp=max_disp, mode=mode)
+
+
+def hwarp(
+    img: Array, u: Array, max_disp: int = 16, impl: str = "auto",
+    mode: str = "edge",
+) -> Array:
+    if _use_pallas(impl):
+        return hwarp_pallas(img, u, max_disp=max_disp, mode=mode)
+    return hwarp_xla(img, u, max_disp=max_disp, mode=mode)
+
+
+def _use_pallas(impl: str) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Two-pass full-frame warp
+# ---------------------------------------------------------------------------
+
+
+def warp_twopass(
+    frames: Array,
+    flow: Array,
+    max_disp: int = 16,
+    impl: str = "auto",
+    inv_iters: int = 2,
+) -> Array:
+    """Backward warp frames [N,H,W,C] by flow [N,H,W,2] via mean-shift +
+    vertical pass + horizontal pass (module docstring). Valid wherever
+    `warp_validity(flow)=1` and the per-frame mean-removed residual is within
+    `max_disp`; callers mask the rest."""
+    n, h, w, c = frames.shape
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+    mu = jnp.round(jnp.mean(u, axis=(1, 2)))
+    mv = jnp.round(jnp.mean(v, axis=(1, 2)))
+    # F_m(q) = F(q + m): roll by -m. Because roll is modular, wherever the
+    # ideal sample q + m + residual is inside the original frame, the content
+    # is available in F_m modulo the frame size — so wrap-mode taps in the
+    # vertical pass recover it exactly.
+    frames_m = jax.vmap(
+        lambda f, s: jnp.roll(f, shift=(-s[0], -s[1]), axis=(0, 1))
+    )(frames, jnp.stack([mv, mu], axis=-1).astype(jnp.int32))
+    ur = u - mu[:, None, None]
+    vr = v - mv[:, None, None]
+
+    # Horizontal wrap, however, cannot be handled by wrap-mode taps in the
+    # SECOND pass: a wrapped tap at column x' would consume a vertical-pass
+    # value computed with the field at x', not at the claimant's virtual
+    # column x' ∓ W. Instead, extend the working domain horizontally by
+    # dpad = max_disp+1 columns: image wrap-padded (true rolled content),
+    # fields edge-extended — then second-pass taps never leave the domain.
+    dpad = max_disp + 1
+    fpad = lambda f: jnp.pad(f, ((0, 0), (0, 0), (dpad, dpad)), mode="edge")
+    ur_e = fpad(ur)
+    vr_e = fpad(vr)
+    fm_e = jnp.pad(
+        frames_m, ((0, 0), (0, 0), (dpad, dpad), (0, 0)), mode="wrap"
+    )
+
+    def hw1(field, disp):  # horizontal warp of a single-channel field
+        return hwarp(field[..., None], disp, max_disp=max_disp, impl=impl)[..., 0]
+
+    # Fixed point for the inverse horizontal map: delta = -ur(x + delta).
+    delta = -ur_e
+    for _ in range(max(0, inv_iters - 1)):
+        delta = -hw1(ur_e, delta)
+    vv = hw1(vr_e, delta)  # vertical field in post-horizontal coordinates
+    a = vwarp(fm_e, vv, max_disp=max_disp, impl=impl, mode="wrap")
+    out_e = hwarp(a, ur_e, max_disp=max_disp, impl=impl)
+    return out_e[:, :, dpad : dpad + w]
+
+
+__all__ = [
+    "vwarp",
+    "hwarp",
+    "vwarp_xla",
+    "hwarp_xla",
+    "vwarp_pallas",
+    "hwarp_pallas",
+    "warp_twopass",
+]

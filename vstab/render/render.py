@@ -2,15 +2,24 @@
 
 Consumes either per-frame affine warps [T,2,3] (affine smoothing path) or
 per-frame grid displacement fields [T,GH,GW,2] (sparse-LS path), converts to
-dense backward-warp flow, samples through the bilinear-warp kernel, and
-applies the crop policy.
+dense backward-warp flow, samples frames, and applies the crop policy.
 
-Crop policy is implemented as a zoom transform composed into the warp, so
-output shapes stay static under jit:
-- 'fixed': keep the central `fixed_crop_ratio` of the frame.
-- 'auto' : per-clip zoom chosen (as a traced scalar) so every frame's border
-           stays inside the valid region.
-- 'none' : no zoom; invalid borders filled with `border_value`.
+Round-2 TPU-first redesign (VERDICT.md round-1 items 1-2): the round-1
+renderer ran TWO full-res gather warps per frame (one to compose the crop
+zoom into the flow field, one to sample the frames) — pathological on TPU
+(flattened `jnp.take`). Now:
+
+- frames are sampled ONCE via `warp_twopass` (separable 1D Pallas passes,
+  O(max_disp) per pixel — kernels/warp1d.py);
+- the crop zoom is a *separate separable resample*: out(p) = warped(Z(p))
+  with Z a centered scale, which factorizes into two tent-weight matmuls
+  (MXU work, no gathers). The zoom scale may be a traced scalar (auto mode),
+  so the tent matrices are built in-graph.
+
+Crop policy ('fixed' | 'auto' | 'none') behaves as before; output shapes
+stay static under jit. Pixels whose ideal sample left the frame are filled
+with `border_value` via the validity mask computed from the *exact* flow, so
+the bounded-warp approximations never leak into visible output.
 """
 
 from __future__ import annotations
@@ -22,7 +31,7 @@ import jax.numpy as jnp
 
 from vstab.core.config import RenderConfig
 from vstab.core.types import apply_affine
-from vstab.kernels import bilinear_warp_xla, warp_validity
+from vstab.kernels import warp_twopass, warp_validity
 
 Array = jax.Array
 
@@ -51,37 +60,35 @@ def grid_to_flow(disp: Array, h: int, w: int) -> Array:
     return jax.image.resize(disp, (t, h, w, 2), method="bilinear")
 
 
-def _zoom_transform(scale: Array, h: int, w: int) -> Array:
-    """Affine mapping output coords -> pre-zoom coords, zoom about center."""
-    cx = (w - 1) / 2.0
-    cy = (h - 1) / 2.0
-    s = jnp.asarray(scale, jnp.float32)
-    zero = jnp.zeros_like(s)
-    row0 = jnp.stack([s, zero, cx * (1.0 - s)])
-    row1 = jnp.stack([zero, s, cy * (1.0 - s)])
-    return jnp.stack([row0, row1])
+def _tent_matrix(n: int, scale: Array) -> Array:
+    """[n,n] row-stochastic bilinear sampling matrix for the centered scale
+    map src(i) = c + scale*(i-c); scale may be a traced scalar in (0,1]."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    ctr = (n - 1) / 2.0
+    src = ctr + jnp.asarray(scale, jnp.float32) * (i - ctr)
+    src = jnp.clip(src, 0.0, n - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - i[None, :]))
 
 
-def _compose_zoom(flow: Array, scale: Array) -> Array:
-    """Compose a centered zoom into a dense backward-warp flow field.
+def zoom_resample(img: Array, scale: Array) -> Array:
+    """Centered zoom-in resample out(p) = img(c + scale*(p-c)) for
+    [T,H,W,C], as two separable tent matmuls (MXU; gather-free)."""
+    t, h, w, c = img.shape
+    wy = _tent_matrix(h, scale)
+    wx = _tent_matrix(w, scale)
+    # HIGHEST precision: the TPU default does bf16 matmuls, visibly wrong
+    # for 8-bit image content (~0.4% error).
+    tmp = jnp.einsum(
+        "yr,trwc->tywc", wy, img, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "xq,tyqc->tyxc", wx, tmp, precision=jax.lax.Precision.HIGHEST
+    )
 
-    new_flow(p) = Z(p) + flow_interp(Z(p)) - p; since Z is affine and flow is
-    smooth, we approximate flow_interp(Z(p)) by bilinearly warping the flow
-    field itself by the zoom (exact for affine flows).
-    """
-    t, h, w, _ = flow.shape
-    xx, yy = _base_grid(h, w)
-    pts = jnp.stack([xx, yy], axis=-1)
-    z = _zoom_transform(scale, h, w)
-    zp = apply_affine(z[None, None], pts)  # Z(p), [H,W,2]
-    zoom_disp = (zp - pts)[None].repeat(t, axis=0)
-    flow_at_zp = bilinear_warp_xla(flow, zoom_disp)
-    return zoom_disp + flow_at_zp
 
-
-def _auto_scale(flow: Array, margin: float = 0.0) -> Array:
-    """Smallest centered zoom s<=1 keeping sampled coords in-bounds for the
-    border pixels of every frame (traced scalar; shapes stay static)."""
+def _auto_scale_per_frame(flow: Array, margin: float = 0.0) -> Array:
+    """Per-frame smallest centered zoom s<=1 keeping sampled coords in-bounds
+    for every pixel of that frame: [T,H,W,2] -> [T] (traced; static shapes)."""
     t, h, w, _ = flow.shape
     xx, yy = _base_grid(h, w)
     sx = xx[None] + flow[..., 0]
@@ -99,20 +106,34 @@ def _auto_scale(flow: Array, margin: float = 0.0) -> Array:
     sreq = jnp.minimum(
         (rx[None] - over_x) / rx[None], (ry[None] - over_y) / ry[None]
     )
-    return jnp.clip(jnp.min(sreq) - margin, 0.5, 1.0)
+    return jnp.clip(jnp.min(sreq, axis=(1, 2)) - margin, 0.5, 1.0)
+
+
+def _auto_scale(flow: Array, margin: float = 0.0) -> Array:
+    """Clip-global auto-crop zoom: min of the per-frame scales (scalar)."""
+    return jnp.min(_auto_scale_per_frame(flow, margin))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_stabilized(frames: Array, flow: Array, cfg: RenderConfig) -> Array:
     """Backward-warp frames [T,H,W,C] by flow [T,H,W,2] with crop policy."""
     t, h, w, c = frames.shape
-    if cfg.crop_mode == "fixed":
-        flow = _compose_zoom(flow, jnp.float32(cfg.fixed_crop_ratio))
-    elif cfg.crop_mode == "auto":
-        flow = _compose_zoom(flow, _auto_scale(flow))
-    out = bilinear_warp_xla(frames, flow)
+    warped = warp_twopass(
+        frames, flow, max_disp=cfg.max_residual_disp, impl=cfg.kernel_impl
+    )
     mask = warp_validity((h, w), flow)[..., None]
-    return out * mask + cfg.border_value * (1.0 - mask)
+    if cfg.crop_mode == "none":
+        return warped * mask + cfg.border_value * (1.0 - mask)
+    if cfg.crop_mode == "fixed":
+        scale = jnp.float32(cfg.fixed_crop_ratio)
+    elif cfg.crop_mode == "auto":
+        scale = _auto_scale(flow)
+    else:
+        raise ValueError(f"unknown crop_mode: {cfg.crop_mode}")
+    out = zoom_resample(warped, scale)
+    maskz = zoom_resample(mask, scale)
+    valid = (maskz > 0.999).astype(out.dtype)
+    return out * valid + cfg.border_value * (1.0 - valid)
 
 
 def render_affine(frames: Array, transforms: Array, cfg: RenderConfig) -> Array:
@@ -128,6 +149,7 @@ def render_grid(frames: Array, disp: Array, cfg: RenderConfig) -> Array:
 __all__ = [
     "affine_to_flow",
     "grid_to_flow",
+    "zoom_resample",
     "render_stabilized",
     "render_affine",
     "render_grid",

@@ -51,30 +51,38 @@ def _einsum(subs, *ops):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=16)
+def _pool_matrices(h: int, w: int, gh: int, gw: int):
+    """Row-normalized 0/1 cell-selector matrices (By [GH,H], Bx [GW,W]) for
+    averaging over the linspace partition of rows/cols (host-side, static)."""
+
+    def sel(n, g):
+        edges = np.linspace(0, n, g + 1).astype(np.int64)
+        m = np.zeros((g, n), np.float32)
+        for i in range(g):
+            m[i, edges[i] : edges[i + 1]] = 1.0 / max(edges[i + 1] - edges[i], 1)
+        return m
+
+    return sel(h, gh), sel(w, gw)
+
+
 def vertex_motion(flow: Array, grid_size: Tuple[int, int]) -> Array:
     """Per-vertex motion from dense flow: [N,H,W,2] -> [N,GH,GW,2].
 
-    Robust local aggregate: average-pool the flow over each grid cell
-    (box regions centered on the vertices). Median would be more robust to
-    foreground motion; mean keeps it one reduce — revisit with profiling.
+    Robust local aggregate: average-pool the flow over each grid cell.
+    Separable pooling as two selector matmuls (MXU) — the round-1 version
+    ran two full-res spatial cumsums, scan-shaped work that dominated the
+    smoothing stage on TPU (VERDICT.md "What's weak" 1; measured 2.5s of the
+    720p bench). Median would be more robust to foreground motion; mean
+    keeps it two matmuls — revisit with a trained flow net.
     """
     n, h, w, _ = flow.shape
     gh, gw = grid_size
-    # Pool windows: partition rows/cols as evenly as possible.
-    ys = jnp.linspace(0, h, gh + 1).astype(jnp.int32)
-    xs = jnp.linspace(0, w, gw + 1).astype(jnp.int32)
-    # Use cumulative sums for ragged box averages (static shapes).
-    cs = jnp.cumsum(jnp.cumsum(flow, axis=1), axis=2)
-    cs = jnp.pad(cs, ((0, 0), (1, 0), (1, 0), (0, 0)))
-    y0, y1 = ys[:-1], ys[1:]
-    x0, x1 = xs[:-1], xs[1:]
-    # box sum over [y0:y1, x0:x1] via inclusion-exclusion
-    a = cs[:, y1][:, :, x1]  # [N, GH, GW, 2]
-    b = cs[:, y0][:, :, x1]
-    c = cs[:, y1][:, :, x0]
-    d = cs[:, y0][:, :, x0]
-    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(flow.dtype)
-    return (a - b - c + d) / area[None, :, :, None]
+    by_np, bx_np = _pool_matrices(h, w, gh, gw)
+    by = jnp.asarray(by_np)
+    bx = jnp.asarray(bx_np)
+    pooled_rows = _einsum("gh,nhwc->ngwc", by, flow)
+    return _einsum("xw,ngwc->ngxc", bx, pooled_rows)
 
 
 def vertex_profiles(flow: Array, grid_size: Tuple[int, int]) -> Array:
