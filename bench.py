@@ -47,11 +47,24 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     ap.add_argument("--record-cpu-baseline", action="store_true")
+    ap.add_argument(
+        "--platform", default="auto", choices=["auto", "cpu", "tpu"],
+        help="force the JAX backend. The axon sitecustomize force-registers "
+        "the TPU via jax.config, so JAX_PLATFORMS=cpu in the environment is "
+        "NOT honored — this flag overrides through jax.config (see "
+        "tests/conftest.py). --record-cpu-baseline implies --platform cpu.",
+    )
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument("--stages", action="store_true", help="also time each stage")
     args = ap.parse_args()
 
     import jax
+
+    if args.record_cpu_baseline:
+        args.platform = "cpu"
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -118,13 +131,7 @@ def main() -> int:
     fps = args.iters * t / dt
 
     if args.record_cpu_baseline:
-        if backend != "cpu":
-            print(
-                f"refusing --record-cpu-baseline on backend={backend!r}: the "
-                "denominator must be a CPU measurement (ADVICE.md r1)",
-                file=sys.stderr,
-            )
-            return 2
+        assert backend == "cpu", backend
         with open(_BASELINE_FILE, "w") as f:
             json.dump({"fps": fps, "backend": backend, "shape": [t, h, w]}, f)
         print(f"recorded CPU baseline: {fps:.3f} frames/s", file=sys.stderr)

@@ -59,17 +59,27 @@ def cmd_stabilize(args) -> int:
     from vstab.pipeline import default_params, stabilize
 
     cfg = _load_config(args)
+    # Probe the input BEFORE the (minutes-long on TPU) param init so a bad
+    # path fails immediately.
+    n_frames = _probe_frame_count(args.input, args.max_frames)
     params = default_params(cfg, ckpt_dir=args.ckpt_dir)
+
+    if args.blocked or n_frames > (cfg.dist.time_block_len * 4):
+        # Long clip: temporal-block streaming (M3) — constant host AND
+        # device memory, file to file, never loading the whole clip.
+        from vstab.pipeline_blocked import stabilize_video_blocked
+
+        stats = stabilize_video_blocked(
+            args.input, args.output, params, cfg, max_frames=args.max_frames
+        )
+        print(json.dumps(stats))
+        return 0
+
     frames, fps = read_video(args.input, max_frames=args.max_frames)
     log.info("read %s: %s frames %sx%s @ %.1f fps", args.input,
              *frames.shape[:3], fps)
     t0 = time.perf_counter()
-    if args.blocked or frames.shape[0] > cfg.dist.time_block_len * 4:
-        from vstab.pipeline_blocked import stabilize_blocked
-
-        out = stabilize_blocked(jnp.asarray(frames), params, cfg)
-    else:
-        out, _ = stabilize(jnp.asarray(frames), params, cfg)
+    out, _ = stabilize(jnp.asarray(frames), params, cfg)
     out = np.asarray(jax.block_until_ready(out))
     wall = time.perf_counter() - t0
     log.info("stabilized %d frames in %.2fs (%.1f frames/s)",
@@ -81,6 +91,20 @@ def cmd_stabilize(args) -> int:
         "fps_processed": round(frames.shape[0] / wall, 2),
     }))
     return 0
+
+
+def _probe_frame_count(path: str, max_frames) -> int:
+    """Container-reported frame count (0 if unknown) capped at max_frames."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    if max_frames is not None:
+        n = min(n, max_frames) if n > 0 else max_frames
+    return n
 
 
 def cmd_eval(args) -> int:

@@ -64,7 +64,7 @@ class SmoothConfig:
 class RenderConfig:
     """Full-frame render / crop policy (SURVEY.md §2.1 "Full-frame renderer")."""
 
-    # 'crop' — crop to the common valid region; 'fixed' — fixed margin crop;
+    # 'fixed' — fixed margin crop; 'auto' — crop to the common valid region;
     # 'none' — keep full frame with border fill.
     crop_mode: str = "fixed"
     fixed_crop_ratio: float = 0.9  # keep central 90% for crop_mode='fixed'
@@ -74,6 +74,12 @@ class RenderConfig:
     max_residual_disp: int = 16
     # 'auto' | 'pallas' | 'xla' — render warp kernel implementation.
     kernel_impl: str = "auto"
+
+    def __post_init__(self):
+        if self.crop_mode not in ("fixed", "auto", "none"):
+            raise ValueError(
+                f"crop_mode must be 'fixed'|'auto'|'none', got {self.crop_mode!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

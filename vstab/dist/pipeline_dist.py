@@ -31,7 +31,7 @@ from vstab.core.config import Config
 from vstab.dist.halo import extend_right, exclusive_prefix_sum
 from vstab.dist.mesh import TIME_AXIS, make_mesh
 from vstab.dist.schur_dist import schur_solve_shard
-from vstab.kernels import warp_twopass, warp_validity
+from vstab.kernels import twopass_validity, warp_twopass
 from vstab.render.render import (
     _auto_scale_per_frame,
     grid_to_flow,
@@ -106,7 +106,7 @@ def _stab_shard(
     out = warp_twopass(
         frames, warp_flow, max_disp=rc.max_residual_disp, impl=rc.kernel_impl
     )
-    mask = warp_validity((h, w), warp_flow)[..., None]
+    mask = twopass_validity((h, w), warp_flow, rc.max_residual_disp)[..., None]
     if rc.crop_mode == "none":
         return out * mask + rc.border_value * (1.0 - mask)
     if rc.crop_mode == "fixed":

@@ -109,6 +109,7 @@ def evaluate_clip(frames: np.ndarray, params, cfg) -> Tuple[dict, np.ndarray]:
     out = np.asarray(jax.block_until_ready(out))
     wall = time.perf_counter() - t0
     rec = evaluate_videos(frames, out)
+    rec["frames"] = int(frames.shape[0])
     rec["fps"] = round(frames.shape[0] / wall, 3)
     rec["wall_s"] = round(wall, 3)
     return rec, out
@@ -207,8 +208,15 @@ def _run_dp_batches(
             wall = time.perf_counter() - t0
             for (name, frames, fps), o in zip(group, out):
                 rec = {"clip": name, **evaluate_videos(frames, o)}
-                rec["fps"] = round(b * frames.shape[0] / wall, 3)
-                rec["wall_s"] = round(wall, 3)
+                # Amortized per-clip accounting so DP and serial tables are
+                # comparable (ADVICE.md r2, low): the clip's share of the
+                # batch wall is wall/b, hence fps = frames/(wall/b); the raw
+                # batch wall is kept under batch_wall_s.
+                rec["frames"] = int(frames.shape[0])
+                rec["batch"] = b
+                rec["fps"] = round(frames.shape[0] / (wall / b), 3)
+                rec["wall_s"] = round(wall / b, 3)
+                rec["batch_wall_s"] = round(wall, 3)
                 with open(results_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
                 if save_videos_dir:

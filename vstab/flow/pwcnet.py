@@ -141,7 +141,9 @@ def init_params(rng: jax.Array, cfg: FlowConfig, h: int = 64, w: int = 64):
     h = max(h, mult)
     w = max(w, mult)
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    return PWCNet(cfg).init(rng, dummy, dummy)
+    # jit the init: eager flax init dispatches hundreds of individual ops,
+    # which is minutes of round-trips on a remote-tunneled TPU backend.
+    return jax.jit(PWCNet(cfg).init)(rng, dummy, dummy)
 
 
 __all__ = [

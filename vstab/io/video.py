@@ -75,18 +75,46 @@ def write_video(
     path: str, frames: np.ndarray, fps: float = 30.0, codec: str = "mp4v"
 ) -> None:
     """Encode frames [T,H,W,3] float [0,1] (or uint8) RGB to a video file."""
-    import cv2
-
-    if frames.dtype != np.uint8:
-        frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
-    t, h, w, _ = frames.shape
-    fourcc = cv2.VideoWriter_fourcc(*codec)
-    out = cv2.VideoWriter(path, fourcc, fps, (w, h))
-    if not out.isOpened():
-        raise IOError(f"cannot open video writer: {path}")
-    for f in frames:
-        out.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-    out.release()
+    w = write_video_frames(path, fps=fps, codec=codec)
+    w.write(frames)
+    w.close()
 
 
-__all__ = ["read_video", "read_video_chunks", "write_video"]
+class write_video_frames:
+    """Incremental video encoder for the streaming/blocked pipeline: call
+    `.write(frames_block)` repeatedly, then `.close()`. The cv2.VideoWriter
+    is opened lazily on the first block (frame size known then)."""
+
+    def __init__(self, path: str, fps: float = 30.0, codec: str = "mp4v"):
+        self.path = path
+        self.fps = float(fps)
+        self.codec = codec
+        self._w = None
+
+    def write(self, frames: np.ndarray) -> None:
+        import cv2
+
+        if frames.dtype != np.uint8:
+            frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+        if self._w is None:
+            h, w = frames.shape[1:3]
+            fourcc = cv2.VideoWriter_fourcc(*self.codec)
+            self._w = cv2.VideoWriter(self.path, fourcc, self.fps, (w, h))
+            if not self._w.isOpened():
+                raise IOError(f"cannot open video writer: {self.path}")
+        for f in frames:
+            self._w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.release()
+            self._w = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+__all__ = ["read_video", "read_video_chunks", "write_video", "write_video_frames"]

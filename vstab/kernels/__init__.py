@@ -19,6 +19,7 @@ from vstab.kernels.warp1d import (
     vwarp_pallas,
     vwarp_xla,
     warp_twopass,
+    twopass_validity,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "vwarp_pallas",
     "hwarp_pallas",
     "warp_twopass",
+    "twopass_validity",
 ]

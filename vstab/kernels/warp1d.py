@@ -108,27 +108,38 @@ def hwarp_xla(
 # ---------------------------------------------------------------------------
 
 
-def _vwarp_kernel(v_ref, img_a, img_b, img_c, out_ref, *, max_disp: int):
+def _vwarp_kernel(v_ref, img_a, img_b, img_c, out_ref, band_ref, *, max_disp: int):
     """Vertical pass. Blocks: v [1,th,wp]; image as THREE consecutive
     row-blocks of the top-edge-padded image (halo 2d+2 <= 2*tile_h), layout
     [1,th,C,wp] channels-on-sublanes (see warp.py for the Mosaic rationale).
-    Select-accumulate over the 2d+2 integer row offsets with tent weights —
-    static row slices on the untiled H axis, no gathers, no rolls."""
+    Select-accumulate over the 2d+2 integer row offsets with tent weights.
+    fori_loop (NOT an unrolled Python loop): round-2's unrolled version made
+    Mosaic stack-allocate every iteration's temporaries at once — 22.9MB of
+    scoped vmem at 720p, over the 16MB limit (BENCH_r02 crash). The rolled
+    loop keeps one live temporary set. Mosaic can't dynamic-slice a *value*,
+    so the 3-block band is staged into a VMEM scratch ref and the row window
+    is a pl.ds ref-read on the untiled H axis — no gathers, no rolls."""
     d = max_disp
     _, th, c, wp = out_ref.shape
     span = 2 * d + 2
     v = jnp.clip(v_ref[0].astype(jnp.float32), -d, d)  # [th, wp]
     y0 = jnp.floor(v).astype(jnp.int32)
     fy = v - y0.astype(jnp.float32)
-    band = jnp.concatenate([img_a[0], img_b[0], img_c[0]], axis=0)
-    band = band[: th + span].astype(jnp.float32)  # [th+span, C, wp]
-    acc = jnp.zeros((th, c, wp), jnp.float32)
-    for k in range(span):
+    band_ref[0:th] = img_a[0].astype(jnp.float32)
+    band_ref[th : 2 * th] = img_b[0].astype(jnp.float32)
+    band_ref[2 * th : 3 * th] = img_c[0].astype(jnp.float32)
+
+    def body(k, acc):
         dy = k - d
         ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
             y0 == dy - 1
         ).astype(jnp.float32)
-        acc = acc + ly[:, None, :] * band[k : k + th]
+        sl = band_ref[pl.ds(k, th)]  # [th, C, wp]
+        return acc + ly[:, None, :] * sl
+
+    acc = jax.lax.fori_loop(
+        0, span, body, jnp.zeros((th, c, wp), jnp.float32)
+    )
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -209,6 +220,7 @@ def vwarp_pallas(
             (1, tile_h, c, wp), lambda ni, hi: (ni, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((3 * tile_h, c, wp), jnp.float32)],
     )(vp, imgp, imgp, imgp)
     return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
 
@@ -337,6 +349,26 @@ def warp_twopass(
     return out_e[:, :, dpad : dpad + w]
 
 
+def twopass_validity(shape_hw, flow: Array, max_disp: int = 16) -> Array:
+    """[N,H,W] float mask: 1 where `warp_twopass` equals the ideal backward
+    bilinear warp — all four taps in-bounds (kernels.warp.warp_validity) AND
+    the per-frame mean-removed residual displacement within `max_disp`.
+
+    The 1D kernels silently clip residuals beyond max_disp, so renderers
+    must mask with THIS, not plain warp_validity, or clipped pixels present
+    as valid output (ADVICE.md r2, medium)."""
+    from vstab.kernels.warp import warp_validity
+
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+    mu = jnp.round(jnp.mean(u, axis=(1, 2)))
+    mv = jnp.round(jnp.mean(v, axis=(1, 2)))
+    ok = (jnp.abs(u - mu[:, None, None]) <= max_disp) & (
+        jnp.abs(v - mv[:, None, None]) <= max_disp
+    )
+    return warp_validity(shape_hw, flow) * ok.astype(jnp.float32)
+
+
 __all__ = [
     "vwarp",
     "hwarp",
@@ -345,4 +377,5 @@ __all__ = [
     "vwarp_pallas",
     "hwarp_pallas",
     "warp_twopass",
+    "twopass_validity",
 ]

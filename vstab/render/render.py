@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from vstab.core.config import RenderConfig
 from vstab.core.types import apply_affine
-from vstab.kernels import warp_twopass, warp_validity
+from vstab.kernels import twopass_validity, warp_twopass
 
 Array = jax.Array
 
@@ -115,21 +115,29 @@ def _auto_scale(flow: Array, margin: float = 0.0) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def render_stabilized(frames: Array, flow: Array, cfg: RenderConfig) -> Array:
-    """Backward-warp frames [T,H,W,C] by flow [T,H,W,2] with crop policy."""
+def render_stabilized(
+    frames: Array, flow: Array, cfg: RenderConfig, scale: Array | None = None
+) -> Array:
+    """Backward-warp frames [T,H,W,C] by flow [T,H,W,2] with crop policy.
+
+    `scale` (optional traced scalar) overrides the crop zoom — used by the
+    temporal-block pipeline, where 'auto' needs the min over ALL blocks'
+    per-frame scales, known only after a first sweep (pipeline_blocked.py).
+    """
     t, h, w, c = frames.shape
     warped = warp_twopass(
         frames, flow, max_disp=cfg.max_residual_disp, impl=cfg.kernel_impl
     )
-    mask = warp_validity((h, w), flow)[..., None]
+    mask = twopass_validity((h, w), flow, cfg.max_residual_disp)[..., None]
     if cfg.crop_mode == "none":
         return warped * mask + cfg.border_value * (1.0 - mask)
-    if cfg.crop_mode == "fixed":
-        scale = jnp.float32(cfg.fixed_crop_ratio)
-    elif cfg.crop_mode == "auto":
-        scale = _auto_scale(flow)
-    else:
-        raise ValueError(f"unknown crop_mode: {cfg.crop_mode}")
+    if scale is None:
+        if cfg.crop_mode == "fixed":
+            scale = jnp.float32(cfg.fixed_crop_ratio)
+        elif cfg.crop_mode == "auto":
+            scale = _auto_scale(flow)
+        else:
+            raise ValueError(f"unknown crop_mode: {cfg.crop_mode}")
     out = zoom_resample(warped, scale)
     maskz = zoom_resample(mask, scale)
     valid = (maskz > 0.999).astype(out.dtype)
