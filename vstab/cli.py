@@ -79,7 +79,12 @@ def cmd_stabilize(args) -> int:
     log.info("read %s: %s frames %sx%s @ %.1f fps", args.input,
              *frames.shape[:3], fps)
     t0 = time.perf_counter()
-    out, _ = stabilize(jnp.asarray(frames), params, cfg)
+    if args.debug:
+        from vstab.utils.debug import stabilize_checked
+
+        out, _ = stabilize_checked(jnp.asarray(frames), params, cfg)
+    else:
+        out, _ = stabilize(jnp.asarray(frames), params, cfg)
     out = np.asarray(jax.block_until_ready(out))
     wall = time.perf_counter() - t0
     log.info("stabilized %d frames in %.2fs (%.1f frames/s)",
@@ -155,6 +160,8 @@ def main(argv=None) -> int:
     sp.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     sp.add_argument("--max-frames", type=int, default=None)
     sp.add_argument("--ckpt-dir", default="ckpts")
+    sp.add_argument("--debug", action="store_true",
+                    help="run under jax checkify: fail loudly on NaN/Inf/OOB")
     sp.add_argument("--blocked", action="store_true",
                     help="force temporal-block streaming execution")
     sp.set_defaults(fn=cmd_stabilize)

@@ -58,9 +58,9 @@ def exclusive_prefix_sum(total: Array, axis_name: str) -> Array:
     computes its local cumsum and adds this offset. One all_gather over
     ICI of a [G,...]-small per-shard total (SURVEY.md §5 "long-context").
     """
-    n = jax.lax.axis_size(axisname := axis_name)
-    all_totals = jax.lax.all_gather(total, axisname, axis=0)  # [n, ...]
-    idx = jax.lax.axis_index(axisname)
+    n = jax.lax.axis_size(axis_name)
+    all_totals = jax.lax.all_gather(total, axis_name, axis=0)  # [n, ...]
+    idx = jax.lax.axis_index(axis_name)
     mask = (jnp.arange(n) < idx).astype(total.dtype)
     return jnp.tensordot(mask, all_totals, axes=1)
 

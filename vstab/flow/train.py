@@ -165,6 +165,147 @@ def synthetic_batch(
     return {"im1": im1, "im2": im2, "flow": flow}
 
 
+def make_scene_pool(n_scenes: int, h: int, w: int, seed: int = 0) -> Array:
+    """[S,h,w,3] pool of procedural scenes, generated host-side once."""
+    from vstab.eval.synthetic import checker_scene
+
+    import numpy as np
+
+    return jnp.stack(
+        [checker_scene(h, w, seed=seed * 1000 + i) for i in range(n_scenes)]
+    )
+
+
+def _sample_batch(rng: jax.Array, scenes: Array, n: int, max_disp: float) -> Dict[str, Array]:
+    """On-device labeled batch: scene pick + (global affine ∘ low-freq) flow.
+
+    Stabilization flow is dominated by global camera motion, so the GT flow
+    mixes a global similarity (translation ±max_disp, rotation ±0.02 rad,
+    scale ±2%) with a low-frequency residual field — unlike the pure
+    low-freq fields of `synthetic_batch`, this covers the inference regime
+    (shake ≈ global affine per pair).
+    """
+    s, h, w, _ = scenes.shape
+    kidx, kaff, kgrid, kbr = jax.random.split(rng, 4)
+    idx = jax.random.randint(kidx, (n,), 0, s)
+    im1 = scenes[idx]
+
+    ang = 0.02 * jax.random.uniform(kaff, (n,), minval=-1.0, maxval=1.0)
+    sc = 1.0 + 0.02 * jax.random.uniform(
+        jax.random.fold_in(kaff, 1), (n,), minval=-1.0, maxval=1.0
+    )
+    txy = max_disp * jax.random.uniform(
+        jax.random.fold_in(kaff, 2), (n, 2), minval=-1.0, maxval=1.0
+    )
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - (h - 1) / 2.0
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - (w - 1) / 2.0
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    # displacement of the affine map (sc·R − I)·p + t at each pixel
+    dx = (sc * ca - 1.0)[:, None, None] * xx - (sc * sa)[:, None, None] * yy
+    dy = (sc * sa)[:, None, None] * xx + (sc * ca - 1.0)[:, None, None] * yy
+    aff = jnp.stack(
+        [dx + txy[:, 0, None, None], dy + txy[:, 1, None, None]], axis=-1
+    )
+
+    coarse = 0.4 * max_disp * jax.random.uniform(
+        kgrid, (n, 4, 5, 2), minval=-1.0, maxval=1.0
+    )
+    flow = aff + jax.image.resize(coarse, (n, h, w, 2), "bicubic")
+    im2 = bilinear_warp(im1, flow, impl="xla")
+    # mild photometric jitter on im1 only (robustness to brightness change)
+    gain = 1.0 + 0.05 * jax.random.uniform(kbr, (n, 1, 1, 1), minval=-1.0, maxval=1.0)
+    return {"im1": jnp.clip(im1 * gain, 0.0, 1.0), "im2": im2, "flow": flow}
+
+
+def train_fast(
+    cfg: FlowConfig,
+    steps: int = 4000,
+    batch_size: int = 8,
+    hw: Tuple[int, int] = (192, 256),
+    lr: float = 2e-4,
+    seed: int = 0,
+    params=None,
+    scan_len: int = 100,
+    n_scenes: int = 64,
+    max_disp: float = 12.0,
+    ckpt_dir: Optional[str] = "ckpts",
+    mode: str = "supervised",
+) -> Any:
+    """Scan-based trainer: data generation AND `scan_len` optimizer steps run
+    inside one jitted dispatch — essential on a remote-tunneled TPU where
+    per-step dispatch latency would dominate (~0.1 s/round-trip)."""
+    from vstab.flow.pwcnet import init_params
+    from vstab.utils.checkpoint import save_params
+
+    h, w = hw
+    rng = jax.random.PRNGKey(seed)
+    if params is None:
+        rng, sub = jax.random.split(rng)
+        params = init_params(sub, cfg)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
+    tx = make_optimizer(sched)
+    opt_state = tx.init(params)
+    net = PWCNet(cfg)
+    scenes = make_scene_pool(n_scenes, h, w, seed=seed)
+
+    def loss_fn(params, batch):
+        out = net.apply(params, batch["im1"], batch["im2"])
+        if mode == "supervised":
+            return multiscale_epe(out["flow_pyramid"], batch["flow"])
+        return photometric_loss(batch["im1"], batch["im2"], out["flow_pyramid"], cfg)
+
+    @jax.jit
+    def run_chunk(params, opt_state, rng):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            batch = _sample_batch(sub, scenes, batch_size, max_disp)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), {"loss": loss, **aux}
+
+        (params, opt_state, rng), ms = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=scan_len
+        )
+        return params, opt_state, rng, jax.tree_util.tree_map(jnp.mean, ms)
+
+    n_chunks = -(-steps // scan_len)
+    for ci in range(n_chunks):
+        params, opt_state, rng, ms = run_chunk(params, opt_state, rng)
+        m = {k: round(float(v), 4) for k, v in ms.items()}
+        print(f"step {min((ci + 1) * scan_len, steps)}/{steps}: {m}", flush=True)
+
+    if ckpt_dir is not None:
+        import os
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        save_params(os.path.join(ckpt_dir, f"flow_{steps:06d}.msgpack"), params)
+    return params
+
+
+def eval_epe(
+    params, cfg: FlowConfig, hw: Tuple[int, int] = (192, 256),
+    n: int = 16, seed: int = 999, max_disp: float = 12.0,
+) -> float:
+    """Held-out synthetic EPE at full input resolution (the M6 gate metric)."""
+    from vstab.flow.pwcnet import estimate_flow
+
+    scenes = make_scene_pool(8, hw[0], hw[1], seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    epes = []
+    for i in range(-(-n // 8)):
+        batch = jax.jit(
+            lambda r: _sample_batch(r, scenes, 8, max_disp)
+        )(jax.random.fold_in(rng, i))
+        fl = estimate_flow(params, batch["im1"], batch["im2"], cfg)
+        err = jnp.sqrt(jnp.sum((fl - batch["flow"]) ** 2, -1) + 1e-12)
+        epes.append(float(jnp.mean(err)))
+    return sum(epes) / len(epes)
+
+
 def train(
     cfg: FlowConfig,
     steps: int = 1000,
@@ -207,11 +348,52 @@ def train(
     return params
 
 
+def _main() -> int:
+    """python -m vstab.flow.train --steps 4000 [--hw 192 256] ..."""
+    import argparse
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, nargs=2, default=(192, 256))
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan-len", type=int, default=100)
+    ap.add_argument("--max-disp", type=float, default=12.0)
+    ap.add_argument("--ckpt-dir", default="ckpts")
+    ap.add_argument("--resume", default=None, help="msgpack to warm-start from")
+    ap.add_argument("--compute-dtype", default="float32")
+    args = ap.parse_args()
+
+    from vstab.core.config import FlowConfig
+    from vstab.utils.checkpoint import load_params
+
+    cfg = FlowConfig(compute_dtype=args.compute_dtype, kernel_impl="auto")
+    params = load_params(args.resume) if args.resume else None
+    params = train_fast(
+        cfg, steps=args.steps, batch_size=args.batch, hw=tuple(args.hw),
+        lr=args.lr, seed=args.seed, params=params, scan_len=args.scan_len,
+        max_disp=args.max_disp, ckpt_dir=args.ckpt_dir,
+    )
+    epe = eval_epe(params, cfg, hw=tuple(args.hw), max_disp=args.max_disp)
+    print(f"held-out EPE @ {tuple(args.hw)}: {epe:.3f} px", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
+
+
 __all__ = [
     "multiscale_epe",
     "photometric_loss",
     "make_optimizer",
     "make_train_step",
     "synthetic_batch",
+    "make_scene_pool",
+    "train_fast",
+    "eval_epe",
     "train",
 ]

@@ -32,8 +32,7 @@ from vstab.smooth.affine import (
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pair_chunk"))
-def clip_flow(params, frames: Array, cfg: Config, pair_chunk: int = 8) -> Array:
+def _clip_flow(params, frames: Array, cfg: Config, pair_chunk: int = 8) -> Array:
     """Consecutive-pair flow over a clip, scanned in fixed-size pair chunks to
     bound peak memory: [T,H,W,3] -> [T-1,H,W,2]."""
     t, h, w, c = frames.shape
@@ -59,8 +58,7 @@ def clip_flow(params, frames: Array, cfg: Config, pair_chunk: int = 8) -> Array:
     return flows.reshape(n_chunks * pair_chunk, h, w, 2)[:n_pairs]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def smooth_and_render(
+def _smooth_and_render(
     frames: Array, flow: Array, cfg: Config
 ) -> Tuple[Array, Dict[str, Array]]:
     """Smoothing + render given precomputed flow. Returns (out, diagnostics)."""
@@ -81,6 +79,16 @@ def smooth_and_render(
         raise ValueError(f"unknown smoothing method: {cfg.smooth.method}")
     out = render_stabilized(frames, warp_flow, cfg.render)
     return out, diags
+
+
+# Jitted public entry points; the unjitted _impls exist so utils.debug can
+# wrap them in checkify (checkify must be applied inside-out: jit(checkify(f))).
+clip_flow = functools.partial(jax.jit, static_argnames=("cfg", "pair_chunk"))(
+    _clip_flow
+)
+smooth_and_render = functools.partial(jax.jit, static_argnames=("cfg",))(
+    _smooth_and_render
+)
 
 
 def stabilize(

@@ -2,13 +2,12 @@
 
 Flow-net params via flax serialization (the reference's TF Saver analogue
 [RECON]); pipeline-level resume state is handled by the eval harness's JSONL
-manifest (vstab.eval.deepstab) and the solver block manifest (vstab.dist).
+manifest (vstab.eval.deepstab.run_sweep: skip-on-rerun per clip).
 """
 
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Optional
 
 from flax import serialization
@@ -16,13 +15,8 @@ from flax import serialization
 
 def save_params(path: str, params: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    # Store the pytree structure with pickle and leaves with flax msgpack.
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(params))
-    with open(path + ".tree", "wb") as f:
-        import jax
-
-        pickle.dump(jax.tree_util.tree_structure(params), f)
 
 
 def load_params(path: str, template: Optional[Any] = None) -> Any:
