@@ -86,9 +86,16 @@ def main() -> int:
     )
     params = default_params(cfg)
 
+    def note(msg, _t=[time.perf_counter()]):
+        now = time.perf_counter()
+        print(f"[bench +{now - _t[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
+        _t[0] = now
+
+    note(f"backend={backend} impl={impl} params ready")
     t, h, w = args.frames, args.height, args.width
     frames, _ = make_shaky_clip(t=t, h=h, w=w, seed=0)
     frames = jax.block_until_ready(jnp.asarray(frames))
+    note("clip synthesized")
 
     def run(x):
         flow = clip_flow(params, x, cfg)
@@ -96,7 +103,13 @@ def main() -> int:
         return out
 
     # Warmup / compile.
+    flow = jax.block_until_ready(clip_flow(params, frames, cfg))
+    note("flow compiled + run")
+    out = jax.block_until_ready(smooth_and_render(frames, flow, cfg)[0])
+    note("smooth_and_render compiled + run")
+    del flow
     out = jax.block_until_ready(run(frames))
+    note("warmup done")
     assert np.isfinite(np.asarray(out[0])).all(), "non-finite output"
 
     if args.profile:

@@ -107,14 +107,51 @@ def stabilize_clip(clip: Clip, params, cfg: Config) -> Clip:
 def default_params(
     cfg: Config, seed: Optional[int] = None, ckpt_dir: str = "ckpts"
 ):
-    """Flow-net params: load from ckpt_dir if present, else fresh init."""
+    """Flow-net params: load from ckpt_dir if compatible, else fresh init.
+
+    A checkpoint trained at one architecture must not be applied under a
+    different FlowConfig (flax validates param shapes at apply time); the
+    structure/shape check below is free via jax.eval_shape — no device
+    compute, no init compile."""
+    import logging
+
     from vstab.utils.checkpoint import latest_checkpoint, load_params
 
     ckpt = latest_checkpoint(ckpt_dir)
     if ckpt is not None:
-        return load_params(ckpt)
+        params = load_params(ckpt)
+        if _params_match(params, cfg.flow):
+            return params
+        logging.getLogger("vstab.pipeline").warning(
+            "checkpoint %s does not match the configured flow architecture; "
+            "using fresh init", ckpt,
+        )
     rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     return init_params(rng, cfg.flow)
+
+
+def _params_match(params, flow_cfg) -> bool:
+    """True iff `params` has exactly the tree structure and leaf shapes that
+    `init_params(_, flow_cfg)` would produce (checked abstractly)."""
+    from vstab.flow.pwcnet import PWCNet
+
+    mult = 2 ** len(flow_cfg.pyramid_channels)
+    dummy = jax.ShapeDtypeStruct((1, mult, mult, 3), jnp.float32)
+    try:
+        want = jax.eval_shape(
+            PWCNet(flow_cfg).init, jax.random.PRNGKey(0), dummy, dummy
+        )
+    except Exception:
+        return False
+    got_tree = jax.tree_util.tree_structure(params)
+    want_tree = jax.tree_util.tree_structure(want)
+    if got_tree != want_tree:
+        return False
+    return all(
+        tuple(g.shape) == tuple(w.shape)
+        for g, w in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(want))
+    )
 
 
 __all__ = [
