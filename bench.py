@@ -134,7 +134,9 @@ def main() -> int:
             return out
 
         flow = stage_time("flow", lambda: clip_flow(params, frames, cfg))
+        note("flow stage timed")
         stage_time("smooth_render", lambda: smooth_and_render(frames, flow, cfg))
+        note("smooth_render stage timed")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):

@@ -1,0 +1,105 @@
+"""Fault injection / resume for the eval sweep (SURVEY.md §5 "Failure
+detection ... fault injection = a test-only hook that kills one subprocess
+mid-sweep and asserts clean restart from the block manifest"; VERDICT.md r1
+§5 row 'Failure detect / fault injection').
+
+The sweep's manifest is results.jsonl: one record appended per finished clip
+(vstab/eval/deepstab.py). Killing the worker between clips must leave a
+readable manifest; re-running must (a) skip finished clips, (b) finish the
+rest, (c) tolerate a torn trailing line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_sweep_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CLIPS = 4
+
+
+def _read_manifest(path):
+    recs = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    recs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+    return recs
+
+
+def _spawn(results_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, _WORKER, results_path, str(N_CLIPS)],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
+def test_kill_mid_sweep_then_resume(tmp_path):
+    results = str(tmp_path / "results.jsonl")
+
+    # Run until the first clip lands in the manifest, then SIGKILL.
+    p = _spawn(results)
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            if p.poll() is not None:
+                break  # finished before we killed it — still a valid test
+            if len(_read_manifest(results)) >= 1:
+                break
+            time.sleep(0.2)
+        killed_early = p.poll() is None
+        p.kill()
+    finally:
+        p.wait()
+
+    partial = _read_manifest(results)
+    assert len(partial) >= 1, "worker never finished a clip within timeout"
+    if killed_early:
+        assert len(partial) < N_CLIPS, "kill landed after the sweep finished"
+
+    # Simulate a torn tail line from the kill (append garbage): the loader
+    # must skip it and the sweep must redo that clip, not crash.
+    with open(results, "a") as f:
+        f.write('{"clip": "synthetic_999", "stab')
+
+    done_before = {r["clip"] for r in partial}
+
+    # Resume to completion in a fresh process.
+    p2 = _spawn(results)
+    rc = p2.wait(timeout=480)
+    assert rc == 0
+
+    final = _read_manifest(results)
+    clips = [r["clip"] for r in final]
+    # Every clip done exactly once: finished clips were skipped on resume.
+    expected = {f"synthetic_{i:03d}" for i in range(N_CLIPS)}
+    assert set(clips) == expected
+    assert len(clips) == N_CLIPS, f"duplicate records after resume: {clips}"
+    assert done_before <= set(clips)
+    for r in final:
+        for k in ("stability", "cropping", "distortion", "fps"):
+            assert k in r, f"missing metric {k} in {r}"
+
+
+@pytest.mark.parametrize("torn", ["", '{"not json', '{"clip": 3}'])
+def test_manifest_loader_tolerates_bad_lines(tmp_path, torn):
+    from vstab.eval.deepstab import _load_done
+
+    path = str(tmp_path / "r.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"clip": "a", "stability": 0.9}) + "\n")
+        f.write(torn + "\n")
+    done = _load_done(path)
+    assert "a" in done and len(done) == 1

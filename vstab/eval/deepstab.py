@@ -60,6 +60,9 @@ def synthetic_clip_set(
 
 
 def _load_done(results_path: str) -> Dict[str, dict]:
+    """Completed-clip records from the manifest. A record counts as done only
+    if it parses AND carries the metric payload — torn tail lines from a
+    killed run, or half-schema junk, are redone rather than trusted."""
     done = {}
     if os.path.exists(results_path):
         with open(results_path) as f:
@@ -69,10 +72,29 @@ def _load_done(results_path: str) -> Dict[str, dict]:
                     continue
                 try:
                     rec = json.loads(line)
-                    done[rec["clip"]] = rec
-                except (json.JSONDecodeError, KeyError):
+                except json.JSONDecodeError:
                     continue  # torn tail line from a killed run — redo it
+                if isinstance(rec.get("clip"), str) and "stability" in rec:
+                    done[rec["clip"]] = rec
     return done
+
+
+def _append_record(results_path: str, rec: dict) -> None:
+    """Append one JSONL record, healing a torn tail first: a run killed
+    mid-write leaves a final line with no newline — appending directly onto
+    it would swallow THIS record into the garbage line (found by
+    tests/eval/test_resume.py fault injection)."""
+    need_nl = False
+    try:
+        with open(results_path, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            need_nl = f.read(1) != b"\n"
+    except (FileNotFoundError, OSError):
+        pass
+    with open(results_path, "a") as f:
+        if need_nl:
+            f.write("\n")
+        f.write(json.dumps(rec) + "\n")
 
 
 def _iter_clips(
@@ -153,8 +175,7 @@ def run_sweep(
     for name, frames, fps in todo:
         rec, out = evaluate_clip(frames, params, cfg)
         rec = {"clip": name, **rec}
-        with open(results_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        _append_record(results_path, rec)
         if save_videos_dir:
             from vstab.io.video import write_video
 
@@ -217,8 +238,7 @@ def _run_dp_batches(
                 rec["fps"] = round(frames.shape[0] / (wall / b), 3)
                 rec["wall_s"] = round(wall / b, 3)
                 rec["batch_wall_s"] = round(wall, 3)
-                with open(results_path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
+                _append_record(results_path, rec)
                 if save_videos_dir:
                     from vstab.io.video import write_video
 
