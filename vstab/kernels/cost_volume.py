@@ -84,22 +84,21 @@ def _cv_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, radius: int):
     band = band[: th + 2 * r].astype(jnp.float32)  # [th+2r, C, Wp]
     inv_c = 1.0 / c
 
-    # dy: static Python loop (static value slices — dynamic_slice on values
-    # does not lower in Mosaic); dx: fori_loop with a dynamic lane roll so
-    # only ONE rolled band is live at a time (unrolling all (2r+1) blows
-    # the 16MB scoped-VMEM limit).
-    for dy in range(nd1):
-        sub = band[dy : dy + th]  # [th, C, Wp]
-
-        def body_dx(dx, _, sub=sub, dy=dy):
-            # shifted[..., x] = sub[..., x + dx]; wrap-around lands at
-            # x >= W (discarded by the final slice).
-            rolled = pltpu.roll(sub, shift=(wp - dx) % wp, axis=2)
-            corr = jnp.sum(f1 * rolled, axis=1) * inv_c  # [th, Wp]
+    # dx OUTER: one dynamic lane roll of the whole halo band per dx (the
+    # round-2 kernel rolled a dy-slice inside the inner loop — (2r+1)^2
+    # rolls; rolls are pure data movement and dominated the kernel). dy
+    # INNER: static value slices of the rolled band (free in Mosaic).
+    # fori_loop keeps ONE rolled band live (unrolling blows scoped VMEM).
+    def body_dx(dx, _):
+        # shifted[..., x] = band[..., x + dx]; wrap-around lands at
+        # x >= W (discarded by the final slice).
+        rolled = pltpu.roll(band, shift=(wp - dx) % wp, axis=2)
+        for dy in range(nd1):
+            corr = jnp.sum(f1 * rolled[dy : dy + th], axis=1) * inv_c
             out_ref[0, dy * nd1 + dx] = corr.astype(out_ref.dtype)
-            return 0
+        return 0
 
-        jax.lax.fori_loop(0, nd1, body_dx, 0)
+    jax.lax.fori_loop(0, nd1, body_dx, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "tile_h"))

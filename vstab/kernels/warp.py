@@ -129,28 +129,35 @@ def _warp_kernel(flow_ref, img_a, img_b, img_c, out_ref, *, max_disp: int):
     band = jnp.concatenate([img_a[0], img_b[0], img_c[0]], axis=0)
     band = band[: th + span].astype(jnp.float32)  # [th+span, C, Wp]
 
-    # dy: static Python loop (static value slices — dynamic_slice on values
-    # does not lower in Mosaic); dx: fori_loop with a dynamic lane roll so
-    # only ONE rolled band is live at a time (unrolling blows scoped VMEM).
-    acc = jnp.zeros((th, c, wp), jnp.float32)
+    # dx OUTER: one dynamic lane roll of the whole halo band per dx (the
+    # round-2 kernel rolled a dy-slice in the inner loop — span^2 rolls;
+    # rolls are pure data movement and dominated the kernel). dy INNER:
+    # static value slices of the rolled band (dynamic_slice on values does
+    # not lower in Mosaic, so dy stays a static Python loop). fori_loop
+    # keeps ONE rolled band live (unrolling blows the 16MB scoped VMEM).
+    ly_all = []
     for k in range(span):
         dy = k - d
-        ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
-            y0 == dy - 1
+        ly_all.append(
+            (1.0 - fy) * (y0 == dy).astype(jnp.float32)
+            + fy * (y0 == dy - 1).astype(jnp.float32)
+        )
+
+    def body_dx(j, acc):
+        dx = j - d
+        lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
+            x0 == dx - 1
         ).astype(jnp.float32)
-        sub = band[k : k + th]  # [th, C, Wp]
+        # shifted[..., x] = band[..., x + d + dx] = band[..., x + j];
+        # wrap-around lands at x >= W (discarded by the final slice).
+        rolled = pltpu.roll(band, shift=(wp - j) % wp, axis=2)
+        for k in range(span):
+            acc = acc + (ly_all[k] * lx)[:, None, :] * rolled[k : k + th]
+        return acc
 
-        def body_dx(j, acc2, sub=sub, ly=ly):
-            dx = j - d
-            lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
-                x0 == dx - 1
-            ).astype(jnp.float32)
-            # shifted[..., x] = sub[..., x + d + dx] = sub[..., x + j];
-            # wrap-around lands at x >= W (discarded by the final slice).
-            rolled = pltpu.roll(sub, shift=(wp - j) % wp, axis=2)
-            return acc2 + (ly * lx)[:, None, :] * rolled
-
-        acc = jax.lax.fori_loop(0, span, body_dx, acc)
+    acc = jax.lax.fori_loop(
+        0, span, body_dx, jnp.zeros((th, c, wp), jnp.float32)
+    )
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
