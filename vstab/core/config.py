@@ -70,8 +70,16 @@ class RenderConfig:
     fixed_crop_ratio: float = 0.9  # keep central 90% for crop_mode='fixed'
     border_value: float = 0.0
     # Bound (px) on the per-frame mean-removed residual displacement handled
-    # exactly by the two-pass render warp (kernels/warp1d.py).
+    # exactly by the two-pass render warp (kernels/warp1d.py). With
+    # adaptive_max_disp this is the FLOOR; the actual bound is derived from
+    # the solved path per run (render.residual_disp_bound / pick_max_disp)
+    # so >16px shake degrades gracefully instead of punching border-colored
+    # holes (VERDICT r3 item 7).
     max_residual_disp: int = 16
+    # Derive the render-warp displacement bound from the solved path.
+    adaptive_max_disp: bool = True
+    # Hard cap for the adaptive bound (63 keeps 2d+2 <= any 128-lane tile).
+    max_disp_limit: int = 63
     # 'auto' | 'pallas' | 'xla' — render warp kernel implementation.
     kernel_impl: str = "auto"
 

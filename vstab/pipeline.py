@@ -58,25 +58,41 @@ def _clip_flow(params, frames: Array, cfg: Config, pair_chunk: int = 8) -> Array
     return flows.reshape(n_chunks * pair_chunk, h, w, 2)[:n_pairs]
 
 
-def _smooth_and_render(
-    frames: Array, flow: Array, cfg: Config
-) -> Tuple[Array, Dict[str, Array]]:
-    """Smoothing + render given precomputed flow. Returns (out, diagnostics)."""
-    t, h, w, _ = frames.shape
+def _smooth_paths(flow: Array, cfg: Config, hw: Tuple[int, int]):
+    """Flow -> (compact per-frame path, diagnostics): stabilizing affine
+    warps [T,2,3] or grid displacements [T,GH,GW,2]."""
+    h, w = hw
     if cfg.smooth.method == "affine":
         pair = fit_affine_from_flow(flow)
         path = chain_path(pair)
         sm = smooth_path(path, sigma=cfg.smooth.affine_sigma)
         warps = stabilizing_transforms(path, sm)
-        warp_flow = affine_to_flow(warps, h, w)
         diags = {"warps": warps, "path": path.transforms, "smoothed": sm.transforms}
-    elif cfg.smooth.method == "sparse_ls":
+        return warps, diags
+    if cfg.smooth.method == "sparse_ls":
         from vstab.smooth.sparse_ls import smooth_grid_field
 
-        disp, diags = smooth_grid_field(flow, (h, w), cfg.smooth)
-        warp_flow = grid_to_flow(disp, h, w)
-    else:
-        raise ValueError(f"unknown smoothing method: {cfg.smooth.method}")
+        return smooth_grid_field(flow, (h, w), cfg.smooth)
+    raise ValueError(f"unknown smoothing method: {cfg.smooth.method}")
+
+
+def _path_to_flow(path: Array, cfg: Config, hw: Tuple[int, int]) -> Array:
+    h, w = hw
+    if cfg.smooth.method == "affine":
+        return affine_to_flow(path, h, w)
+    return grid_to_flow(path, h, w)
+
+
+def _smooth_and_render(
+    frames: Array, flow: Array, cfg: Config
+) -> Tuple[Array, Dict[str, Array]]:
+    """Smoothing + render given precomputed flow. Returns (out, diagnostics).
+    Single-trace path (no adaptive displacement bound) — used under vmap/DP
+    and by the checkify debug wrapper, where the host round-trip that the
+    adaptive bound needs is impossible."""
+    t, h, w, _ = frames.shape
+    path, diags = _smooth_paths(flow, cfg, (h, w))
+    warp_flow = _path_to_flow(path, cfg, (h, w))
     out = render_stabilized(frames, warp_flow, cfg.render)
     return out, diags
 
@@ -89,14 +105,41 @@ clip_flow = functools.partial(jax.jit, static_argnames=("cfg", "pair_chunk"))(
 smooth_and_render = functools.partial(jax.jit, static_argnames=("cfg",))(
     _smooth_and_render
 )
+smooth_paths = functools.partial(jax.jit, static_argnames=("cfg", "hw"))(
+    _smooth_paths
+)
+path_to_flow = functools.partial(jax.jit, static_argnames=("cfg", "hw"))(
+    _path_to_flow
+)
 
 
 def stabilize(
     frames: Array, params, cfg: Config
 ) -> Tuple[Array, Dict[str, Array]]:
-    """Full pipeline on one clip: [T,H,W,3] -> (stabilized [T,H,W,3], diags)."""
+    """Full pipeline on one clip: [T,H,W,3] -> (stabilized [T,H,W,3], diags).
+
+    With cfg.render.adaptive_max_disp (default), the render-warp residual
+    bound is derived from the solved path (host fetch of the tiny path
+    array) so strong shake renders correctly instead of being masked
+    (VERDICT r3 item 7). Under tracing (e.g. vmapped DP batches) that host
+    round-trip is impossible — falls back to the static-cfg bound."""
+    import numpy as np
+
+    from vstab.render.render import pick_max_disp, residual_disp_bound
+
     flow = clip_flow(params, frames, cfg)
-    return smooth_and_render(frames, flow, cfg)
+    adaptive = cfg.render.adaptive_max_disp and not isinstance(
+        frames, jax.core.Tracer
+    )
+    if not adaptive:
+        return smooth_and_render(frames, flow, cfg)
+    t, h, w, _ = frames.shape
+    path, diags = smooth_paths(flow, cfg, (h, w))
+    bound = residual_disp_bound(np.asarray(path), h, w, cfg.smooth.method)
+    d = pick_max_disp(bound, cfg.render)
+    warp_flow = path_to_flow(path, cfg, (h, w))
+    out = render_stabilized(frames, warp_flow, cfg.render, max_disp=d)
+    return out, diags
 
 
 def stabilize_clip(clip: Clip, params, cfg: Config) -> Clip:

@@ -25,15 +25,18 @@ the bounded-warp approximations never leak into visible output.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vstab.core.config import RenderConfig
 from vstab.core.types import apply_affine
 from vstab.kernels import twopass_validity, warp_twopass
 
 Array = jax.Array
+log = logging.getLogger("vstab.render")
 
 
 def _base_grid(h: int, w: int):
@@ -114,21 +117,94 @@ def _auto_scale(flow: Array, margin: float = 0.0) -> Array:
     return jnp.min(_auto_scale_per_frame(flow, margin))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+# --- Adaptive residual-displacement bound (VERDICT r3 item 7) -------------
+#
+# The two-pass render warp (kernels/warp1d.py) handles per-frame mean-removed
+# residual displacements up to a static `max_disp`, masking anything beyond
+# to border_value. A fixed bound of 16px silently punches border-colored
+# holes for strong shake (at 1080p a 0.015 rad roll already produces ~16px
+# corner residuals), so the renderer derives the bound from the solved path
+# before tracing, bucketed to keep recompiles rare.
+
+_DISP_BUCKETS = (16, 24, 32, 48, 63)  # 63: 2d+2=128 fits any lane tile
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_mean_weights(g: int, n: int) -> tuple:
+    """[g] pixel-mean weights of jax.image.resize 'bilinear' from g control
+    points to n samples: w[v] = mean_i M[i,v] where M is the n x g resize
+    matrix. Computed by resizing the identity (axis 0 is size-preserving,
+    hence untouched)."""
+    eye = jnp.eye(g, dtype=jnp.float32)
+    m = jax.image.resize(eye, (g, n), method="bilinear")  # [g, n]
+    return tuple(np.asarray(jnp.mean(m, axis=1), dtype=np.float32))
+
+
+def residual_disp_bound(path: np.ndarray, h: int, w: int, method: str) -> float:
+    """Upper bound (px) on max_t,p |flow_t(p) - mean_p flow_t| of the dense
+    warp flow induced by `path` — the residual the two-pass warp must cover.
+
+    affine [T,2,3]: the flow is affine in (x,y); its pixel-mean equals its
+    value at the grid center and its extrema sit at the corners.
+    grid [T,GH,GW,2]: the dense flow is a separable bilinear upsample, so
+    extrema sit at vertices and the pixel mean is the exact vertex-weighted
+    average with the `_resize_mean_weights` weights. Host-side numpy f32 so
+    the whole-clip and blocked pipelines compute identical bounds."""
+    path = np.asarray(path, dtype=np.float32)
+    if path.size == 0:
+        return 0.0
+    if method == "affine":
+        pts = np.array(
+            [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1],
+             [(w - 1) / 2.0, (h - 1) / 2.0]],
+            np.float32,
+        )  # 4 corners + center
+        lin = path[:, :, :2] @ pts.T + path[:, :, 2:3]  # [T,2,5] mapped pts
+        fl = lin - pts.T[None]  # flow at the 5 points
+        return float(np.abs(fl[:, :, :4] - fl[:, :, 4:5]).max())
+    t, gh, gw, _ = path.shape
+    wy = np.asarray(_resize_mean_weights(gh, h), np.float32)
+    wx = np.asarray(_resize_mean_weights(gw, w), np.float32)
+    mean = np.einsum("g,q,tgqc->tc", wy, wx, path)
+    return float(np.abs(path - mean[:, None, None, :]).max())
+
+
+def pick_max_disp(bound: float, cfg: RenderConfig) -> int:
+    """Static kernel bound for a measured residual bound: the smallest
+    bucket covering `bound` (+0.5px mean-rounding slack), floored at
+    cfg.max_residual_disp, capped at cfg.max_disp_limit. Bucketing bounds
+    the number of distinct jit specializations at len(_DISP_BUCKETS)."""
+    if not cfg.adaptive_max_disp:
+        return cfg.max_residual_disp
+    need = max(int(np.ceil(bound + 0.5)), cfg.max_residual_disp)
+    limit = min(cfg.max_disp_limit, _DISP_BUCKETS[-1])
+    for b in _DISP_BUCKETS:
+        if b >= need:
+            return min(b, limit)
+    log.warning(
+        "residual displacement bound %.1fpx exceeds max_disp_limit=%d; "
+        "out-of-range pixels will be border-filled", bound, limit,
+    )
+    return limit
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_disp"))
 def render_stabilized(
-    frames: Array, flow: Array, cfg: RenderConfig, scale: Array | None = None
+    frames: Array, flow: Array, cfg: RenderConfig, scale: Array | None = None,
+    max_disp: int | None = None,
 ) -> Array:
     """Backward-warp frames [T,H,W,C] by flow [T,H,W,2] with crop policy.
 
     `scale` (optional traced scalar) overrides the crop zoom — used by the
     temporal-block pipeline, where 'auto' needs the min over ALL blocks'
     per-frame scales, known only after a first sweep (pipeline_blocked.py).
+    `max_disp` (static) overrides cfg.max_residual_disp — callers derive it
+    from the solved path via residual_disp_bound/pick_max_disp.
     """
     t, h, w, c = frames.shape
-    warped = warp_twopass(
-        frames, flow, max_disp=cfg.max_residual_disp, impl=cfg.kernel_impl
-    )
-    mask = twopass_validity((h, w), flow, cfg.max_residual_disp)[..., None]
+    d = cfg.max_residual_disp if max_disp is None else max_disp
+    warped = warp_twopass(frames, flow, max_disp=d, impl=cfg.kernel_impl)
+    mask = twopass_validity((h, w), flow, d)[..., None]
     if cfg.crop_mode == "none":
         return warped * mask + cfg.border_value * (1.0 - mask)
     if scale is None:
