@@ -59,15 +59,16 @@ def test_kill_mid_sweep_then_resume(tmp_path):
             if len(_read_manifest(results)) >= 1:
                 break
             time.sleep(0.2)
-        killed_early = p.poll() is None
         p.kill()
     finally:
         p.wait()
 
     partial = _read_manifest(results)
     assert len(partial) >= 1, "worker never finished a clip within timeout"
-    if killed_early:
-        assert len(partial) < N_CLIPS, "kill landed after the sweep finished"
+    # NOTE (ADVICE r3): no assertion that the kill landed before completion —
+    # after the first clip compiles, the rest can finish inside the 0.2s
+    # poll window, so "killed early" is inherently racy. The resume
+    # properties below hold either way.
 
     # Simulate a torn tail line from the kill (append garbage): the loader
     # must skip it and the sweep must redo that clip, not crash.

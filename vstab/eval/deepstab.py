@@ -89,7 +89,7 @@ def _append_record(results_path: str, rec: dict) -> None:
         with open(results_path, "rb") as f:
             f.seek(-1, os.SEEK_END)
             need_nl = f.read(1) != b"\n"
-    except (FileNotFoundError, OSError):
+    except OSError:  # missing file, or empty file (negative seek raises)
         pass
     with open(results_path, "a") as f:
         if need_nl:
