@@ -30,6 +30,93 @@ def checker_scene(h: int, w: int, seed: int = 0) -> np.ndarray:
     return np.clip(img, 0.0, 1.0)
 
 
+def _upsample(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear upsample [gh,gw,3] -> [h,w,3], cv2 when available."""
+    try:
+        import cv2
+
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        ys = np.linspace(0, img.shape[0] - 1, h)
+        xs = np.linspace(0, img.shape[1] - 1, w)
+        y0 = np.clip(ys.astype(int), 0, img.shape[0] - 2)
+        x0 = np.clip(xs.astype(int), 0, img.shape[1] - 2)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        a = img[y0][:, x0]
+        b = img[y0][:, x0 + 1]
+        c = img[y0 + 1][:, x0]
+        d = img[y0 + 1][:, x0 + 1]
+        return (1 - fy) * ((1 - fx) * a + fx * b) + fy * ((1 - fx) * c + fx * d)
+
+
+def perlin_scene(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Multi-octave smooth value noise — approximately 1/f spectra like
+    natural images; low-contrast smooth regions make it the HARD flow case
+    (aperture problem). Held OUT of training: the cross-distribution EPE
+    gate runs on this family (VERDICT r3 missing-6)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    amp, total = 1.0, 0.0
+    for cells in (3, 6, 12, 24, 48, 96):
+        g = rng.random((cells + 1, cells + 1, 3)).astype(np.float32)
+        img += amp * _upsample(g, h, w)
+        total += amp
+        amp *= 0.55
+    img /= total
+    lo, hi = img.min(), img.max()
+    return ((img - lo) / (hi - lo + 1e-6)).astype(np.float32)
+
+
+def shapes_scene(h: int, w: int, seed: int = 0, n_shapes: int = 24) -> np.ndarray:
+    """Piecewise-smooth scene: background gradient + random filled ellipses
+    and rectangles — sharp occlusion-like edges and flat interiors (document/
+    cartoon statistics, unlike checker's dense texture)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    gdir = rng.normal(size=2)
+    gdir /= np.hypot(*gdir) + 1e-6
+    base = 0.35 + 0.3 * (gdir[0] * yy / h + gdir[1] * xx / w)
+    img = np.stack([base, base * 0.9 + 0.05, base * 1.1 - 0.05], axis=-1)
+    img = img.astype(np.float32).copy()
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    for _ in range(n_shapes):
+        color = rng.random(3).astype(float)
+        cy, cx = int(rng.integers(0, h)), int(rng.integers(0, w))
+        ry = int(rng.integers(max(2, h // 32), max(3, h // 4)))
+        rx = int(rng.integers(max(2, w // 32), max(3, w // 4)))
+        if cv2 is not None and rng.random() < 0.5:
+            cv2.ellipse(
+                img, (cx, cy), (rx, ry), float(rng.uniform(0, 180)), 0, 360,
+                color.tolist(), thickness=-1, lineType=cv2.LINE_AA,
+            )
+        else:
+            y0, y1 = max(0, cy - ry), min(h, cy + ry)
+            x0, x1 = max(0, cx - rx), min(w, cx + rx)
+            img[y0:y1, x0:x1] = color
+    img += rng.normal(0.0, 0.01, size=img.shape)  # sensor-noise floor
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+SCENE_FNS = {
+    "checker": checker_scene,
+    "perlin": perlin_scene,
+    "shapes": shapes_scene,
+}
+
+
+def make_scene(kind: str, h: int, w: int, seed: int = 0) -> np.ndarray:
+    try:
+        return SCENE_FNS[kind](h, w, seed=seed)
+    except KeyError:
+        raise ValueError(
+            f"unknown scene kind {kind!r}; have {sorted(SCENE_FNS)}"
+        ) from None
+
+
 def jitter_trajectory(
     t: int,
     seed: int = 0,
@@ -108,6 +195,7 @@ def make_shaky_clip(
     h: int = 256,
     w: int = 320,
     seed: int = 0,
+    scene_kind: str = "checker",
     **jitter_kw,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (frames [T,H,W,3] f32, true camera transforms [T,2,3]), both
@@ -118,7 +206,7 @@ def make_shaky_clip(
     valid. Rendered per frame at the OUTPUT resolution (the round-1 version
     materialized T full 2x-margin warped scenes at once and OOM'd)."""
     margin_y, margin_x = h // 2, w // 2
-    scene = checker_scene(h + 2 * margin_y, w + 2 * margin_x, seed=seed)
+    scene = make_scene(scene_kind, h + 2 * margin_y, w + 2 * margin_x, seed=seed)
     cams = jitter_trajectory(t, seed=seed, **jitter_kw)
     # Offset camera so frame (0,0) maps into the scene interior.
     cams_scene = cams.copy()
@@ -129,4 +217,12 @@ def make_shaky_clip(
     return frames.astype(np.float32), cams
 
 
-__all__ = ["checker_scene", "jitter_trajectory", "make_shaky_clip"]
+__all__ = [
+    "checker_scene",
+    "perlin_scene",
+    "shapes_scene",
+    "make_scene",
+    "SCENE_FNS",
+    "jitter_trajectory",
+    "make_shaky_clip",
+]

@@ -165,14 +165,24 @@ def synthetic_batch(
     return {"im1": im1, "im2": im2, "flow": flow}
 
 
-def make_scene_pool(n_scenes: int, h: int, w: int, seed: int = 0) -> Array:
-    """[S,h,w,3] pool of procedural scenes, generated host-side once."""
-    from vstab.eval.synthetic import checker_scene
+def make_scene_pool(
+    n_scenes: int, h: int, w: int, seed: int = 0,
+    kinds: Tuple[str, ...] = ("checker", "shapes"),
+) -> Array:
+    """[S,h,w,3] pool of procedural scenes, generated host-side once.
 
-    import numpy as np
+    `kinds` round-robins over scene families (eval/synthetic.SCENE_FNS).
+    The default training mix is checker (dense texture) + shapes (flat
+    regions, occlusion-like edges); 'perlin' is deliberately excluded so it
+    can serve as the cross-distribution holdout family that the trainer
+    never saw (VERDICT r3 missing-6)."""
+    from vstab.eval.synthetic import make_scene
 
     return jnp.stack(
-        [checker_scene(h, w, seed=seed * 1000 + i) for i in range(n_scenes)]
+        [
+            make_scene(kinds[i % len(kinds)], h, w, seed=seed * 1000 + i)
+            for i in range(n_scenes)
+        ]
     )
 
 
@@ -186,9 +196,22 @@ def _sample_batch(rng: jax.Array, scenes: Array, n: int, max_disp: float) -> Dic
     (shake ≈ global affine per pair).
     """
     s, h, w, _ = scenes.shape
-    kidx, kaff, kgrid, kbr = jax.random.split(rng, 4)
+    kidx, kaff, kgrid, kbr, kbl = jax.random.split(rng, 5)
     idx = jax.random.randint(kidx, (n,), 0, s)
     im1 = scenes[idx]
+
+    # Random smoothness augmentation: blend toward a double 3-tap binomial
+    # blur with per-sample strength. Low-texture smooth regions are the flow
+    # net's hard case (aperture problem); the round-3 checkpoint, trained on
+    # crisp checker scenes only, degraded 0.3px -> 7-10px EPE on smooth
+    # families (VERDICT r3 missing-6). Blurring the SCENE before warping
+    # leaves the GT flow exact.
+    def _blur3(x):
+        x = 0.25 * jnp.roll(x, 1, 1) + 0.5 * x + 0.25 * jnp.roll(x, -1, 1)
+        return 0.25 * jnp.roll(x, 1, 2) + 0.5 * x + 0.25 * jnp.roll(x, -1, 2)
+
+    a = jax.random.uniform(kbl, (n, 1, 1, 1)) ** 2  # bias toward mild blur
+    im1 = (1.0 - a) * im1 + a * _blur3(_blur3(im1))
 
     ang = 0.02 * jax.random.uniform(kaff, (n,), minval=-1.0, maxval=1.0)
     sc = 1.0 + 0.02 * jax.random.uniform(
@@ -212,9 +235,12 @@ def _sample_batch(rng: jax.Array, scenes: Array, n: int, max_disp: float) -> Dic
     )
     flow = aff + jax.image.resize(coarse, (n, h, w, 2), "bicubic")
     im2 = bilinear_warp(im1, flow, impl="xla")
-    # mild photometric jitter on im1 only (robustness to brightness change)
-    gain = 1.0 + 0.05 * jax.random.uniform(kbr, (n, 1, 1, 1), minval=-1.0, maxval=1.0)
-    return {"im1": jnp.clip(im1 * gain, 0.0, 1.0), "im2": im2, "flow": flow}
+    # photometric jitter on im1 only (robustness to brightness change)
+    gain = 1.0 + 0.08 * jax.random.uniform(kbr, (n, 1, 1, 1), minval=-1.0, maxval=1.0)
+    off = 0.04 * jax.random.uniform(
+        jax.random.fold_in(kbr, 1), (n, 1, 1, 1), minval=-1.0, maxval=1.0
+    )
+    return {"im1": jnp.clip(im1 * gain + off, 0.0, 1.0), "im2": im2, "flow": flow}
 
 
 def train_fast(
@@ -230,6 +256,7 @@ def train_fast(
     max_disp: float = 12.0,
     ckpt_dir: Optional[str] = "ckpts",
     mode: str = "supervised",
+    kinds: Tuple[str, ...] = ("checker", "shapes"),
 ) -> Any:
     """Scan-based trainer: data generation AND `scan_len` optimizer steps run
     inside one jitted dispatch — essential on a remote-tunneled TPU where
@@ -246,7 +273,7 @@ def train_fast(
     tx = make_optimizer(sched)
     opt_state = tx.init(params)
     net = PWCNet(cfg)
-    scenes = make_scene_pool(n_scenes, h, w, seed=seed)
+    scenes = make_scene_pool(n_scenes, h, w, seed=seed, kinds=kinds)
 
     def loss_fn(params, batch):
         out = net.apply(params, batch["im1"], batch["im2"])
@@ -289,11 +316,16 @@ def train_fast(
 def eval_epe(
     params, cfg: FlowConfig, hw: Tuple[int, int] = (192, 256),
     n: int = 16, seed: int = 999, max_disp: float = 12.0,
+    kinds: Tuple[str, ...] = ("checker", "shapes"),
 ) -> float:
-    """Held-out synthetic EPE at full input resolution (the M6 gate metric)."""
+    """Held-out synthetic EPE at full input resolution (the M6 gate metric).
+
+    kinds=('perlin',) gives the cross-distribution gate: a scene family the
+    trainer never saw (different seeds alone are a near-train eval —
+    VERDICT r3 weak-5)."""
     from vstab.flow.pwcnet import estimate_flow
 
-    scenes = make_scene_pool(8, hw[0], hw[1], seed=seed)
+    scenes = make_scene_pool(8, hw[0], hw[1], seed=seed, kinds=kinds)
     rng = jax.random.PRNGKey(seed)
     epes = []
     for i in range(-(-n // 8)):
@@ -365,20 +397,29 @@ def _main() -> int:
     ap.add_argument("--ckpt-dir", default="ckpts")
     ap.add_argument("--resume", default=None, help="msgpack to warm-start from")
     ap.add_argument("--compute-dtype", default="float32")
+    ap.add_argument(
+        "--scenes", default="checker,shapes",
+        help="comma-separated training scene families (eval/synthetic)",
+    )
     args = ap.parse_args()
 
     from vstab.core.config import FlowConfig
     from vstab.utils.checkpoint import load_params
 
+    kinds = tuple(args.scenes.split(","))
     cfg = FlowConfig(compute_dtype=args.compute_dtype, kernel_impl="auto")
     params = load_params(args.resume) if args.resume else None
     params = train_fast(
         cfg, steps=args.steps, batch_size=args.batch, hw=tuple(args.hw),
         lr=args.lr, seed=args.seed, params=params, scan_len=args.scan_len,
-        max_disp=args.max_disp, ckpt_dir=args.ckpt_dir,
+        max_disp=args.max_disp, ckpt_dir=args.ckpt_dir, kinds=kinds,
     )
-    epe = eval_epe(params, cfg, hw=tuple(args.hw), max_disp=args.max_disp)
-    print(f"held-out EPE @ {tuple(args.hw)}: {epe:.3f} px", flush=True)
+    for gate_kinds, label in ((kinds, "in-dist"), (("perlin",), "cross-dist")):
+        epe = eval_epe(
+            params, cfg, hw=tuple(args.hw), max_disp=args.max_disp,
+            kinds=gate_kinds,
+        )
+        print(f"held-out EPE [{label}] @ {tuple(args.hw)}: {epe:.3f} px", flush=True)
     return 0
 
 
