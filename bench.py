@@ -56,6 +56,15 @@ def main() -> int:
     )
     ap.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     ap.add_argument("--stages", action="store_true", help="also time each stage")
+    ap.add_argument(
+        "--mode", default="pipeline", choices=["pipeline", "blocked-chip"],
+        help="pipeline: whole-clip end-to-end fps (the driver contract). "
+        "blocked-chip: device-resident throughput of the temporal-block "
+        "stages (motion + render) with data already on the chip — the "
+        "number a PCIe-attached host would see; this dev box feeds the TPU "
+        "through a ~40MB/s tunnel, so file-to-file 1080p is link-bound "
+        "(see BASELINE.md).",
+    )
     args = ap.parse_args()
 
     import jax
@@ -64,6 +73,9 @@ def main() -> int:
         args.platform = "cpu"
     if args.platform != "auto":
         jax.config.update("jax_platforms", args.platform)
+    from vstab.cli import _enable_compile_cache
+
+    _enable_compile_cache()
 
     import jax.numpy as jnp
     import numpy as np
@@ -77,6 +89,9 @@ def main() -> int:
     if impl == "auto":
         impl = "pallas" if backend == "tpu" else "xla"
     dtype = "bfloat16" if backend == "tpu" else "float32"
+
+    if args.mode == "blocked-chip":
+        return _bench_blocked_chip(args, impl, dtype)
 
     cfg = Config()
     cfg = dataclasses.replace(
@@ -175,6 +190,75 @@ def main() -> int:
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": ratio,
+            }
+        )
+    )
+    return 0
+
+
+def _bench_blocked_chip(args, impl: str, dtype: str) -> int:
+    """Device-resident blocked-stage throughput: times _block_motion and
+    _block_render on data already in HBM (uint8 in, uint8 out), i.e. the
+    chip-side cost per 64-frame block of BASELINE config 3 with the host
+    link out of the picture."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vstab.core.config import Config
+    from vstab.pipeline import default_params
+    from vstab.pipeline_blocked import _block_motion, _block_render
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        flow=dataclasses.replace(cfg.flow, kernel_impl=impl, compute_dtype=dtype),
+        render=dataclasses.replace(cfg.render, kernel_impl=impl),
+    )
+    params = default_params(cfg)
+    b = cfg.dist.time_block_len
+    t, h, w = b, args.height, args.width
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 255, size=(b + 1, h, w, 3), dtype=np.uint8)
+    )
+    gh, gw = cfg.smooth.grid_size
+    path = jax.device_put(
+        (rng.random((b, gh, gw, 2)).astype(np.float32) - 0.5) * 8.0
+    )
+    jax.block_until_ready(frames)
+
+    def timeit(fn, iters=args.iters):
+        jax.block_until_ready(fn())  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    t_motion = timeit(lambda: _block_motion(params, frames, cfg))
+    t_render = timeit(
+        lambda: _block_render(
+            frames[:b], path, jnp.float32(0.9), cfg,
+            max_disp=cfg.render.max_residual_disp, to_uint8=True,
+        )
+    )
+    for name, dt in (("motion", t_motion), ("render", t_render)):
+        print(
+            json.dumps(
+                {"stage": name, "ms": round(dt * 1e3, 2),
+                 "fps": round(b / dt, 2)}
+            ),
+            file=sys.stderr,
+        )
+    fps = b / (t_motion + t_render)
+    print(
+        json.dumps(
+            {
+                "metric": f"blocked_{h}p_chip_fps",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": None,
             }
         )
     )

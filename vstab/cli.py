@@ -150,6 +150,20 @@ def cmd_bench(args) -> int:
     return subprocess.call(cmd)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    minutes of TPU compiles (a cold 1000-frame 1080p run spends ~2 min
+    compiling the T-length solver alone). Opt out with VSTAB_JAX_CACHE=''."""
+    import os
+
+    cache = os.environ.get("VSTAB_JAX_CACHE", "/tmp/jax_cache")
+    if cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None) -> int:
     import os
 
@@ -165,6 +179,7 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="vstab")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
