@@ -30,14 +30,24 @@ import time
 import numpy as np
 
 
-def _measure(fn, *args, iters=10):
+def _measure(step, x0, iters=10):
+    """Per-iteration time of `step` (shape-preserving) chained UNROLLED
+    inside one jit. Chaining is load-bearing twice over: (a) a host loop of
+    identical dispatches gets deduplicated by the remote-execution layer
+    (first attempt measured 19TB/s "bandwidth"), and (b) one dispatch
+    amortizes the tunnel's per-call latency out of the measurement. The
+    chain is unrolled, NOT a fori_loop — wrapping a pallas_call in an XLA
+    while loop explodes compile time (measured 95s for a 3-iteration loop
+    at a small shape)."""
+    import functools as ft
+
     import jax
 
-    jax.block_until_ready(fn(*args))  # compile + warm
+    iters = min(iters, 6)  # compile cost scales with the unroll
+    f = jax.jit(lambda x: ft.reduce(lambda y, _: step(y), range(iters), x))
+    jax.block_until_ready(f(x0))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(f(x0))
     return (time.perf_counter() - t0) / iters
 
 
@@ -80,42 +90,74 @@ def main() -> int:
             jnp.bfloat16
         )
         f2 = f1 + 0.1
+        # chain via a negligible feedback add (counted in nbytes)
         t = _measure(
-            lambda a=f1, b=f2: cost_volume_pallas(a, b, radius=4),
-            iters=args.iters,
+            lambda y, b=f2: y + 1e-30 * cost_volume_pallas(y, b, radius=4)[
+                ..., :1
+            ],
+            f1, iters=args.iters,
         )
-        nbytes = 2 * (2 * 8 * h * w * c) + 2 * (8 * h * w * 81)
-        record(f"cost_volume L{lvl} {h}x{w}x{c}", t, nbytes)
+        nbytes = 2 * (2 * 8 * h * w * c) + 2 * (8 * h * w * 81) + (
+            2 * 2 * (8 * h * w * c)  # feedback read+write of y
+        )
+        record(f"cost_volume L{lvl} {h}x{w}x{c}", t, nbytes, "+chain add")
 
         flow = jnp.asarray((rng.random((8, h, w, 2)) * 10 - 5).astype(np.float32))
         t = _measure(
-            lambda a=f1, fl=flow: bilinear_warp_pallas(a, fl, max_disp=8),
-            iters=args.iters,
+            lambda y, fl=flow: bilinear_warp_pallas(y, fl, max_disp=8),
+            f1, iters=args.iters,
         )
         nbytes = 2 * (8 * h * w * c) * 2 + 4 * (8 * h * w * 2)
         record(f"bilinear_warp L{lvl} {h}x{w}x{c}", t, nbytes)
 
     # --- render-path 1D warps at 720p/1080p, f32 frames, d in {16, 48}.
-    for (h, w), n in (((720, 1280), 16), ((1080, 1920), 16)):
+    # Fields are SMOOTH (coarse grid upsampled — the production regime:
+    # stabilization residuals vary slowly, and the kernels' data-dependent
+    # trip bounds exploit that); a per-pixel-random worst case is measured
+    # separately below.
+    # amplitude 4px ~= a real post-mean-removal stabilization residual
+    # (rotation ~0.01 rad + grid wobble); 12px is a stress case. The warps'
+    # cost is ~(per-tile field range + 2) VPU passes, so amplitude is the
+    # load-bearing parameter, not max_disp.
+    for (h, w), n, amp in (
+        ((720, 1280), 16, 4.0),
+        ((1080, 1920), 16, 4.0),
+        ((1080, 1920), 16, 12.0),
+    ):
         img = jnp.asarray(rng.random((n, h, w, 3)).astype(np.float32))
-        v = jnp.asarray((rng.random((n, h, w)) * 24 - 12).astype(np.float32))
+        coarse = (rng.random((n, 4, 5)) * 2 * amp - amp).astype(np.float32)
+        v = jnp.asarray(
+            np.asarray(
+                jax.image.resize(jnp.asarray(coarse), (n, h, w), "bilinear")
+            )
+        )
         for d in (16, 48):
             th = max(32, -(-(d + 1) // 8) * 8)
-            t = _measure(
-                lambda a=img, b=v, dd=d, tt=th: vwarp_pallas(
-                    a, b, max_disp=dd, tile_h=tt
-                ),
-                iters=args.iters,
-            )
             nbytes = 4 * (n * h * w * 3) * 2 + 4 * (n * h * w)
-            record(f"vwarp {h}p d={d}", t, nbytes)
             t = _measure(
-                lambda a=img, b=v, dd=d, tt=th: hwarp_pallas(
-                    a, b, max_disp=dd, tile_h=tt
+                lambda y, b=v, dd=d, tt=th: vwarp_pallas(
+                    y, b, max_disp=dd, tile_h=tt
                 ),
-                iters=args.iters,
+                img, iters=args.iters,
             )
-            record(f"hwarp {h}p d={d}", t, nbytes)
+            record(f"vwarp {h}p amp={amp:g} d={d}", t, nbytes)
+            t = _measure(
+                lambda y, b=v, dd=d, tt=th: hwarp_pallas(
+                    y, b, max_disp=dd, tile_h=tt
+                ),
+                img, iters=args.iters,
+            )
+            record(f"hwarp {h}p amp={amp:g} d={d}", t, nbytes)
+
+    # worst case: per-pixel random displacement (full tap span every tile)
+    img = jnp.asarray(rng.random((16, 1080, 1920, 3)).astype(np.float32))
+    vr = jnp.asarray(
+        (rng.random((16, 1080, 1920)) * 24 - 12).astype(np.float32)
+    )
+    t = _measure(
+        lambda y: vwarp_pallas(y, vr, max_disp=16), img, iters=args.iters
+    )
+    record("vwarp 1080p d=16 RANDOM", t, 4 * 16 * 1080 * 1920 * (3 * 2 + 1))
 
     wk = max(len(r["kernel"]) for r in rows)
     print(

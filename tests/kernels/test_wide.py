@@ -54,12 +54,14 @@ def test_bad_tile_w_raises():
         vwarp_pallas(img, v, max_disp=4, tile_w=192)  # not /128
     with pytest.raises(ValueError, match="tile_w"):
         hwarp_pallas(img, v, max_disp=4, tile_w=192)  # not /128
-    with pytest.raises(ValueError, match="strip-halo"):
-        # W-tiled rows bound the halo at 128 lanes -> d <= 63
+    with pytest.raises(ValueError, match="strip"):
+        # W-tiled rows need the strip-halo lanes to divide the tile lanes;
+        # at C=3 that breaks around d=110 (far beyond the adaptive
+        # renderer's cap of 63)
         hwarp_pallas(
-            _rand((1, 16, 2000, 3), 0, 0, 1),
-            _rand((1, 16, 2000), 1, -4, 4),
-            max_disp=80, tile_h=88,
+            _rand((1, 16, 4000, 3), 0, 0, 1),
+            _rand((1, 16, 4000), 1, -4, 4),
+            max_disp=100, tile_h=104,
         )
 
 

@@ -133,99 +133,130 @@ def hwarp_xla(
 # ---------------------------------------------------------------------------
 
 
+def _expand_field(f: Array, c: int) -> Array:
+    """[N,H,Wp] per-pixel field -> [N,H,Wp*c] interleaved-lane copy
+    (f_e[..., l] = f[..., l//c]): the kernels run in the channel-interleaved
+    layout, so per-pixel weights must ride the same lanes. One broadcast +
+    reshape on the host graph — the price of having NO transposes anywhere
+    (the round-4a channels-on-sublanes kernels spent more time in the
+    [N,H,W,C]->[N,H,C,W] relayouts around each pallas_call than inside it:
+    measured ~5% of HBM speed-of-light end to end)."""
+    n, h, wp = f.shape
+    if c == 1:
+        return f
+    return jnp.broadcast_to(f[..., None], (n, h, wp, c)).reshape(n, h, wp * c)
+
+
 def _vwarp_kernel(v_ref, img_a, img_b, img_c, out_ref, band_ref, *, max_disp: int):
-    """Vertical pass. Blocks: v [1,th,tw]; image as THREE consecutive
-    row-blocks of the top-edge-padded image (halo 2d+2 <= 2*tile_h), layout
-    [1,th,C,tw] channels-on-sublanes (see warp.py for the Mosaic rationale).
-    The vertical pass reads only its own columns, so the W grid axis needs
-    NO lane halo. Select-accumulate over the 2d+2 integer row offsets with
-    tent weights. fori_loop (NOT an unrolled Python loop): round-2's
-    unrolled version made Mosaic stack-allocate every iteration's
-    temporaries at once — over the 16MB scoped-VMEM limit (BENCH_r02 crash).
-    The rolled loop keeps one live temporary set. Mosaic can't dynamic-slice
-    a *value*, so the 3-block band is staged into a VMEM scratch ref and the
-    row window is a pl.ds ref-read on the untiled H axis — no gathers."""
+    """Vertical pass, channel-interleaved lanes. Blocks: expanded field and
+    image both [1,th,tl] with tl = tile_px*C lanes; image as THREE
+    consecutive row-blocks of the top-edge-padded image (halo 2d+2 <=
+    2*tile_h). The vertical pass reads only its own lanes, so the lane grid
+    axis needs NO halo. Select-accumulate over the integer row offsets with
+    tent weights; the 3-block band is staged into a VMEM scratch ref and
+    the row window is a pl.ds ref-read on the untiled row axis — no
+    gathers, no rolls, no transposes."""
     d = max_disp
-    _, th, c, tw = out_ref.shape
-    span = 2 * d + 2
-    v = jnp.clip(v_ref[0].astype(jnp.float32), -d, d)  # [th, tw]
+    _, th, tl = out_ref.shape
+    v = jnp.clip(v_ref[0].astype(jnp.float32), -d, d)  # [th, tl]
     y0 = jnp.floor(v).astype(jnp.int32)
     fy = v - y0.astype(jnp.float32)
     band_ref[0:th] = img_a[0].astype(jnp.float32)
     band_ref[th : 2 * th] = img_b[0].astype(jnp.float32)
     band_ref[2 * th : 3 * th] = img_c[0].astype(jnp.float32)
 
-    def body(k, acc):
-        dy = k - d
-        ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
-            y0 == dy - 1
-        ).astype(jnp.float32)
-        sl = band_ref[pl.ds(k, th)]  # [th, C, tw]
-        return acc + ly[:, None, :] * sl
+    # Data-dependent trip bounds (exact): ly(k) is identically zero outside
+    # k in [min(y0)+d, max(y0)+d+1], and for the smooth residual fields of
+    # stabilization the PER-TILE range of y0 is a few pixels — so this
+    # visits ~range/8+1 row GROUPS instead of the full 2d+2 taps (34..128).
+    # Groups of 8: Mosaic requires dynamic sublane slice starts provably
+    # 8-aligned, so the loop walks 8-aligned windows of th+8 rows (static
+    # shape) and the 8 in-group taps are static value slices.
+    def group(g, acc):
+        base = pl.multiple_of(g * 8, 8)
+        win = band_ref[pl.ds(base, th + 8)]  # [th+8, tl]
+        for r in range(8):
+            dy = g * 8 + r - d
+            ly = (1.0 - fy) * (y0 == dy).astype(jnp.float32) + fy * (
+                y0 == dy - 1
+            ).astype(jnp.float32)
+            acc = acc + ly * win[r : r + th]
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, span, body, jnp.zeros((th, c, tw), jnp.float32)
+        (jnp.min(y0) + d) // 8,
+        (jnp.max(y0) + d + 1) // 8 + 1,
+        group,
+        jnp.zeros((th, tl), jnp.float32),
     )
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _hwarp_kernel_narrow(u_ref, img_ref, out_ref, *, max_disp: int):
-    """Horizontal pass, one W tile per row. No row halo; the x halo lives in
-    the lane padding (image edge-padded by d on the left). fori_loop over
-    the 2d+2 column offsets with a dynamic lane roll — one rolled band live
-    at a time."""
+def _hwarp_kernel_narrow(u_ref, img_ref, out_ref, *, max_disp: int, c: int):
+    """Horizontal pass, one lane tile per row, channel-interleaved lanes.
+    No row halo; the x halo lives in the lane padding (image edge-padded by
+    d pixels = d*C lanes on the left). fori_loop over the column offsets
+    with a dynamic lane roll of C*j — one rolled band live at a time."""
     d = max_disp
-    _, th, c, wp = out_ref.shape
-    span = 2 * d + 2
-    u = jnp.clip(u_ref[0].astype(jnp.float32), -d, d)  # [th, wp]
+    _, th, wl = out_ref.shape
+    u = jnp.clip(u_ref[0].astype(jnp.float32), -d, d)  # [th, wl]
     x0 = jnp.floor(u).astype(jnp.int32)
     fx = u - x0.astype(jnp.float32)
-    img = img_ref[0].astype(jnp.float32)  # [th, C, wp]
+    img = img_ref[0].astype(jnp.float32)  # [th, wl]
 
     def body(j, acc):
         dx = j - d
         lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
             x0 == dx - 1
         ).astype(jnp.float32)
-        # shifted[..., x] = img[..., x + j]; wrap lands in discarded padding.
-        rolled = pltpu.roll(img, shift=(wp - j) % wp, axis=2)
-        return acc + lx[:, None, :] * rolled
+        # shifted[l] = img[l + c*j] (pixel shift j); wrap lands in padding.
+        rolled = pltpu.roll(img, shift=(wl - c * j) % wl, axis=1)
+        return acc + lx * rolled
 
+    # Data-dependent trip bounds — see _vwarp_kernel.
     acc = jax.lax.fori_loop(
-        0, span, body, jnp.zeros((th, c, wp), jnp.float32)
+        jnp.min(x0) + d,
+        jnp.max(x0) + d + 2,
+        body,
+        jnp.zeros((th, wl), jnp.float32),
     )
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _hwarp_kernel_wide(u_ref, img_ref, strip_ref, out_ref, *, max_disp: int):
-    """Horizontal pass, W-tiled row. The x halo comes from a NARROW 128-lane
-    strip view at the next tile's start — not a full adjacent block (a full
-    2nd block doubles image fetch; the strip costs 128/tile_w extra). Taps
-    for output lane x sit at band lanes x..x+2d+1, in-range iff
-    2d+2 <= 128 <= tile_w. One rolled band live per fori_loop step."""
+def _hwarp_kernel_wide(
+    u_ref, img_ref, strip_ref, out_ref, *, max_disp: int, c: int
+):
+    """Horizontal pass, lane-tiled row, channel-interleaved lanes. The x
+    halo comes from a NARROW strip view (round_up(C*(2d+2),128) lanes) at
+    the next tile's start — not a full adjacent block (a full 2nd block
+    doubles image fetch). Taps for output lane l sit at band lanes
+    l..l+C*(2d+1), in-range because C*(2d+2) <= strip lanes. One rolled
+    band live per fori_loop step."""
     d = max_disp
-    _, th, c, tw = out_ref.shape
-    span = 2 * d + 2
-    u = jnp.clip(u_ref[0].astype(jnp.float32), -d, d)  # [th, tw]
+    _, th, tl = out_ref.shape
+    sl = strip_ref.shape[2]
+    u = jnp.clip(u_ref[0].astype(jnp.float32), -d, d)  # [th, tl]
     x0 = jnp.floor(u).astype(jnp.int32)
     fx = u - x0.astype(jnp.float32)
     band = jnp.concatenate(
-        [img_ref[0], strip_ref[0]], axis=2
-    ).astype(jnp.float32)  # [th, C, tw + 128]
+        [img_ref[0], strip_ref[0]], axis=1
+    ).astype(jnp.float32)  # [th, tl + sl]
 
     def body(j, acc):
         dx = j - d
         lx = (1.0 - fx) * (x0 == dx).astype(jnp.float32) + fx * (
             x0 == dx - 1
         ).astype(jnp.float32)
-        # shifted[..., x] = band[..., x + j]; x + j < tw + 128 for kept
-        # lanes x < tw since j <= span-1 < 128.
-        wl = tw + 128
-        rolled = pltpu.roll(band, shift=(wl - j) % wl, axis=2)
-        return acc + lx[:, None, :] * rolled[:, :, :tw]
+        wl = tl + sl
+        rolled = pltpu.roll(band, shift=(wl - c * j) % wl, axis=1)
+        return acc + lx * rolled[:, :tl]
 
+    # Data-dependent trip bounds — see _vwarp_kernel.
     acc = jax.lax.fori_loop(
-        0, span, body, jnp.zeros((th, c, tw), jnp.float32)
+        jnp.min(x0) + d,
+        jnp.max(x0) + d + 2,
+        body,
+        jnp.zeros((th, tl), jnp.float32),
     )
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -239,60 +270,72 @@ def vwarp_pallas(
 ) -> Array:
     """Vertical 1D warp on TPU, [N,H,W,C] by v [N,H,W], |v| clipped to
     max_disp. Requires 2*max_disp + 2 <= 2*tile_h. mode: 'edge'|'wrap'
-    out-of-range tap handling (implemented as the pad mode). Grids over both
-    H (3-block halo) and W (no halo), so any width compiles in bounded VMEM
-    (VERDICT r3 missing-1: the untiled-W version OOM'd at 1080p)."""
+    out-of-range tap handling (implemented as the pad mode).
+
+    Channel-interleaved lane layout: the image is viewed as [N,H,W*C] (a
+    free reshape — NO transpose; relayouts around each pallas_call were the
+    dominant cost of the channels-on-sublanes version), the field is
+    lane-expanded, and the kernel grids over rows (3-block halo) and lanes
+    (no halo), so any width compiles in bounded VMEM (VERDICT r3
+    missing-1)."""
     n, h, w, c = img.shape
     d = max_disp
     if 2 * d + 2 > 2 * tile_h:
         raise ValueError(f"2*max_disp+2={2*d+2} must be <= 2*tile_h={2*tile_h}")
     wp = _round_up(w, 128)
-    tw = tile_w or _pick_tile_w(wp)
+    # lane budget 3072: 3840-lane tiles measured 17.2MB scoped VMEM (over
+    # the 16MB limit) once XLA pipelines the call inside a larger program
+    tw = tile_w or _pick_tile_w(wp, max_lanes=max(128, 3072 // c // 128 * 128))
     if wp % tw or tw % 128:
         raise ValueError(f"tile_w={tw} must be a multiple-of-128 divisor of {wp}")
+    tl = tw * c
     hp = _round_up(h, tile_h)
-    imgt = jnp.transpose(img, (0, 1, 3, 2))  # [N,H,C,W]
-    # Top edge-pad by d (clamped sampling == sampling the edge-padded image);
-    # bottom pad to hp + 2 tiles so the hi+1 / hi+2 block views exist.
-    imgp = jnp.pad(
-        imgt,
-        ((0, 0), (d, hp + 2 * tile_h - h - d), (0, 0), (0, 0)),
-        mode=mode,
+    # Pad W (zeros — vertical taps never cross columns; padded lanes are
+    # sliced off), reshape to interleaved lanes, then pad rows: top edge/
+    # wrap pad by d (clamped sampling == sampling the padded image), bottom
+    # to hp + 2 tiles so the hi+1 / hi+2 block views exist.
+    imgl = jnp.pad(img, ((0, 0), (0, 0), (0, wp - w), (0, 0))).reshape(
+        n, h, wp * c
     )
-    imgp = jnp.pad(imgp, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
-    vp = jnp.pad(v, ((0, 0), (0, hp - h), (0, wp - w)))
+    imgp = jnp.pad(
+        imgl, ((0, 0), (d, hp + 2 * tile_h - h - d), (0, 0)), mode=mode
+    )
+    vp = _expand_field(jnp.pad(v, ((0, 0), (0, hp - h), (0, wp - w))), c)
     out = pl.pallas_call(
         functools.partial(_vwarp_kernel, max_disp=d),
-        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
-        grid=(n, hp // tile_h, wp // tw),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp * c), img.dtype),
+        grid=(n, hp // tile_h, (wp * c) // tl),
         in_specs=[
             pl.BlockSpec(
-                (1, tile_h, tw), lambda ni, hi, wi: (ni, hi, wi),
+                (1, tile_h, tl), lambda ni, hi, wi: (ni, hi, wi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_h, c, tw), lambda ni, hi, wi: (ni, hi, 0, wi),
+                (1, tile_h, tl), lambda ni, hi, wi: (ni, hi, wi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_h, c, tw), lambda ni, hi, wi: (ni, hi + 1, 0, wi),
+                (1, tile_h, tl), lambda ni, hi, wi: (ni, hi + 1, wi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_h, c, tw), lambda ni, hi, wi: (ni, hi + 2, 0, wi),
+                (1, tile_h, tl), lambda ni, hi, wi: (ni, hi + 2, wi),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, c, tw), lambda ni, hi, wi: (ni, hi, 0, wi),
+            (1, tile_h, tl), lambda ni, hi, wi: (ni, hi, wi),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((3 * tile_h, c, tw), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3 * tile_h, tl), jnp.float32)],
     )(vp, imgp, imgp, imgp)
-    return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
+    return out.reshape(n, hp, wp, c)[:, :h, :w]
 
 
-_HWARP_NARROW_MAX_LANES = 1536  # single-block rows up to this padded width
+# Single-block rows up to this many lanes. 6144 measured 16.7MB scoped VMEM
+# at 1080p/d=48 once XLA pipelines the call inside a larger program; 4096
+# keeps slack, and the wide path's strip halo costs only ~8% extra fetch.
+_HWARP_NARROW_MAX_LANES = 4096
 
 
 @functools.partial(
@@ -305,20 +348,22 @@ def hwarp_pallas(
     """Horizontal 1D warp on TPU, [N,H,W,C] by u [N,H,W], |u| clipped to
     max_disp. mode: 'edge'|'wrap' out-of-range tap handling.
 
-    Narrow rows (padded width <= 1536 lanes) keep the whole row in one lane
-    block — zero halo overhead (the 720p fast path). Wider rows grid over W
-    in 512-lane tiles (padding the row up to a 512 multiple: divisor-of-wp
-    tiling alone degenerates to 128-lane tiles when wp/128 is prime — 11 at
-    720p — costing ~2x fetch) with a 128-lane STRIP view as the lane halo,
-    so any width compiles in bounded VMEM (VERDICT r3 missing-1). Needs
-    2*max_disp+2 <= 128 on the wide path (d <= 63 — the adaptive renderer's
-    cap, core/config.py max_disp_limit)."""
+    Channel-interleaved lane layout ([N,H,W*C] view, NO transposes; pixel
+    tap j is a lane roll of C*j). Narrow rows (padded W*C <= 6144 lanes,
+    which covers 1080p at C=3) keep the whole row in one lane block — zero
+    halo overhead. Wider rows grid over W in 512-PIXEL tiles, padding the
+    row width up to a 512 multiple (divisor-only tiling degenerates to tiny
+    tiles when wp/128 is prime), with a narrow STRIP view of
+    round_up(C*(2d+2), 128) lanes as the lane halo, so any width compiles
+    in bounded VMEM (VERDICT r3 missing-1). The wide path needs the strip
+    to divide the tile: C*(2d+2) <= 512*C always holds for d <= 63 (the
+    adaptive renderer's cap, core/config.py max_disp_limit)."""
     n, h, w, c = img.shape
     d = max_disp
     if tile_w is not None:
         wp = _round_up(w + 2 * d + 1, tile_w)
         tw = tile_w
-    elif _round_up(w + 2 * d + 1, 128) <= _HWARP_NARROW_MAX_LANES:
+    elif _round_up(w + 2 * d + 1, 128) * c <= _HWARP_NARROW_MAX_LANES:
         wp = tw = _round_up(w + 2 * d + 1, 128)
     else:
         wp = _round_up(w + 2 * d + 1, 512)
@@ -326,68 +371,75 @@ def hwarp_pallas(
     narrow = tw == wp
     if wp % tw or tw % 128:
         raise ValueError(f"tile_w={tw} must be a multiple-of-128 divisor of {wp}")
-    if not narrow and 2 * d + 2 > 128:
+    tl = tw * c
+    sl = _round_up(c * (2 * d + 2), 128)  # strip lanes (wide path halo)
+    if not narrow and (sl > tl or tl % sl):
         raise ValueError(
-            f"2*max_disp+2={2*d+2} must be <= 128 (the strip-halo width) "
-            "for W-tiled rows"
+            f"strip-halo lanes {sl} must divide tile lanes {tl} "
+            f"(max_disp={d} too large for tile_w={tw} at C={c})"
         )
     hp = _round_up(h, tile_h)
-    imgt = jnp.transpose(img, (0, 1, 3, 2))  # [N,H,C,W]
-    # Left edge-pad by d (original column x sits at padded column x + d);
-    # wide path right-pads one extra 128-lane strip so the halo view exists.
-    extra = 0 if narrow else 128
-    imgp = jnp.pad(
-        imgt, ((0, 0), (0, 0), (0, 0), (d, wp + extra - w - d)), mode=mode
+    # Left edge/wrap-pad by d PIXELS in 4D (padding the interleaved lane
+    # axis directly would replicate single channel values), then reshape to
+    # interleaved lanes. Wide path zero-pads one extra lane-tile so the
+    # strip halo view exists (its content is never consumed by kept output
+    # columns: taps from column x < w stay below lane (w + 2d)*c < wp*c);
+    # tl is a multiple of sl, so both block tilings divide the padded size.
+    imgp4 = jnp.pad(
+        img, ((0, 0), (0, 0), (d, wp - w - d), (0, 0)), mode=mode
     )
-    imgp = jnp.pad(imgp, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    up = jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w)))
+    imgl = imgp4.reshape(n, h, wp * c)
+    if not narrow:
+        imgl = jnp.pad(imgl, ((0, 0), (0, 0), (0, tl)))
+    imgp = jnp.pad(imgl, ((0, 0), (0, hp - h), (0, 0)))
+    up = _expand_field(jnp.pad(u, ((0, 0), (0, hp - h), (0, wp - w))), c)
     if narrow:
-        kernel = functools.partial(_hwarp_kernel_narrow, max_disp=d)
+        kernel = functools.partial(_hwarp_kernel_narrow, max_disp=d, c=c)
         grid = (n, hp // tile_h)
         in_specs = [
             pl.BlockSpec(
-                (1, tile_h, wp), lambda ni, hi: (ni, hi, 0),
+                (1, tile_h, wp * c), lambda ni, hi: (ni, hi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_h, c, wp), lambda ni, hi: (ni, hi, 0, 0),
+                (1, tile_h, wp * c), lambda ni, hi: (ni, hi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         operands = (up, imgp)
     else:
-        kernel = functools.partial(_hwarp_kernel_wide, max_disp=d)
+        kernel = functools.partial(_hwarp_kernel_wide, max_disp=d, c=c)
         grid = (n, hp // tile_h, wp // tw)
-        m = tw // 128  # strip index units are 128-lane blocks
+        m = tl // sl  # strip index units are sl-lane blocks
         in_specs = [
             pl.BlockSpec(
-                (1, tile_h, tw), lambda ni, hi, wi: (ni, hi, wi),
+                (1, tile_h, tl), lambda ni, hi, wi: (ni, hi, wi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_h, c, tw), lambda ni, hi, wi: (ni, hi, 0, wi),
+                (1, tile_h, tl), lambda ni, hi, wi: (ni, hi, wi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_h, c, 128),
-                lambda ni, hi, wi: (ni, hi, 0, (wi + 1) * m),
+                (1, tile_h, sl),
+                lambda ni, hi, wi, _m=m: (ni, hi, (wi + 1) * _m),
                 memory_space=pltpu.VMEM,
             ),
         ]
         operands = (up, imgp, imgp)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hp, c, wp), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp * c), img.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, tile_h, c, tw),
-            (lambda ni, hi: (ni, hi, 0, 0)) if narrow
-            else (lambda ni, hi, wi: (ni, hi, 0, wi)),
+            (1, tile_h, (wp * c) if narrow else tl),
+            (lambda ni, hi: (ni, hi, 0)) if narrow
+            else (lambda ni, hi, wi: (ni, hi, wi)),
             memory_space=pltpu.VMEM,
         ),
     )(*operands)
-    return jnp.transpose(out, (0, 1, 3, 2))[:, :h, :w]
+    return out.reshape(n, hp, wp, c)[:, :h, :w]
 
 
 def _auto_tile_h(max_disp: int) -> int:
