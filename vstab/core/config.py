@@ -48,12 +48,18 @@ class SmoothConfig:
     affine_sigma: float = 9.0
     # Mesh-grid size for sparse-LS smoothing.
     grid_size: Tuple[int, int] = (12, 16)  # (GH, GW)
-    # Term weights: data (follow original), temporal smoothness, spatial rigidity.
+    # Term weights: data (follow original), temporal smoothness, spatial
+    # rigidity. Tuned against the round-4 flow checkpoint: the round-3
+    # weights (40/10/200) were calibrated against a net that systematically
+    # UNDERestimated large shake — with accurate motion they under-smooth
+    # (stability 0.72 vs 0.88 on the 160x192 integration clip; swept in
+    # round 4, lambda_smooth=400/lambda_accel=4000 is the cross-family
+    # optimum with unchanged cropping/distortion).
     lambda_data: float = 1.0
-    lambda_smooth: float = 40.0
+    lambda_smooth: float = 400.0
     lambda_rigid: float = 10.0
     # Second-order (acceleration) temporal term weight; 0 disables.
-    lambda_accel: float = 200.0
+    lambda_accel: float = 4000.0
     # Schur temporal block length (frames per elimination block).
     block_len: int = 32
     # Tikhonov damping added to normal equations (f32 conditioning).

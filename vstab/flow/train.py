@@ -406,6 +406,10 @@ def _main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scan-len", type=int, default=100)
     ap.add_argument("--max-disp", type=float, default=12.0)
+    ap.add_argument(
+        "--n-scenes", type=int, default=256,
+        help="procedural scene pool size (too small -> the net memorizes it)",
+    )
     ap.add_argument("--ckpt-dir", default="ckpts")
     ap.add_argument("--resume", default=None, help="msgpack to warm-start from")
     ap.add_argument("--compute-dtype", default="float32")
@@ -425,6 +429,7 @@ def _main() -> int:
         cfg, steps=args.steps, batch_size=args.batch, hw=tuple(args.hw),
         lr=args.lr, seed=args.seed, params=params, scan_len=args.scan_len,
         max_disp=args.max_disp, ckpt_dir=args.ckpt_dir, kinds=kinds,
+        n_scenes=args.n_scenes,
     )
     for gate_kinds, label in ((kinds, "in-dist"), (("perlin",), "cross-dist")):
         epe = eval_epe(
