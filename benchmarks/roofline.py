@@ -60,6 +60,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from vstab.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from vstab.kernels.cost_volume import cost_volume_pallas
     from vstab.kernels.warp import bilinear_warp_pallas
     from vstab.kernels.warp1d import hwarp_pallas, vwarp_pallas

@@ -159,8 +159,16 @@ def _warp_accumulate(band, x0, fx, y0, fy, th, c, tw, span, d, wlanes):
             acc = acc + (ly * lx)[:, None, :] * rolled[k : k + th, :, :tw]
         return acc
 
+    # Data-dependent dx bounds (exact — lx(j) is zero outside
+    # [min(x0)+d, max(x0)+d+1]; lane rolls have no alignment constraint):
+    # coarse-to-fine flow is smooth, so per-tile x0 ranges are ~1-2px and
+    # this visits ~range+2 of the 2d+2 columns. The dy loop stays a static
+    # Python loop (value slices must be static in Mosaic).
     return jax.lax.fori_loop(
-        0, span, body_dx, jnp.zeros((th, c, tw), jnp.float32)
+        jnp.min(x0) + d,
+        jnp.max(x0) + d + 2,
+        body_dx,
+        jnp.zeros((th, c, tw), jnp.float32),
     )
 
 
