@@ -32,10 +32,20 @@ from vstab.smooth.affine import (
 Array = jax.Array
 
 
-def _clip_flow(params, frames: Array, cfg: Config, pair_chunk: int = 8) -> Array:
+def _clip_flow(
+    params, frames: Array, cfg: Config, pair_chunk: int | None = None
+) -> Array:
     """Consecutive-pair flow over a clip, scanned in fixed-size pair chunks to
-    bound peak memory: [T,H,W,3] -> [T-1,H,W,2]."""
+    bound peak memory: [T,H,W,3] -> [T-1,H,W,2].
+
+    pair_chunk defaults to a resolution-adaptive size: 8 pairs of 720p
+    activations fit a 16GB chip comfortably, but 8 pairs of 4K OOM by the
+    context net's concat (measured: 15.9GB needed) — halve the chunk per
+    resolution doubling, floor 1."""
     t, h, w, c = frames.shape
+    if pair_chunk is None:
+        mp = h * w / 1e6
+        pair_chunk = 8 if mp <= 2.2 else max(1, int(8 * 2.1 / mp))
     n_pairs = t - 1
     n_chunks = -(-n_pairs // pair_chunk)
     pad = n_chunks * pair_chunk + 1 - t
