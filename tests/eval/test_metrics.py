@@ -94,3 +94,27 @@ def test_cv2_conformance_with_analytic_transforms():
     s_tracked = float(stability_score(jnp.asarray(tracked)))
     s_analytic = float(stability_score(jnp.asarray(analytic)))
     assert abs(s_tracked - s_analytic) < 0.15
+
+
+def test_tracker_stability_matches_ground_truth_on_low_texture():
+    """Metric conformance against the KNOWN synthetic trajectory (SURVEY.md
+    §4): on low-texture perlin content the KLT tracker must reproduce the
+    true input stability closely (round-4 calibration: true 0.251 vs
+    tracked 0.251 at seed 7 — it is the self-similar checker texture where
+    tracker aliasing inflates scores, not perlin that deflates them)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vstab.eval.metrics import estimate_pair_transforms_cv, stability_score
+    from vstab.eval.synthetic import make_shaky_clip
+
+    frames, cams = make_shaky_clip(t=48, h=160, w=192, seed=7, scene_kind="perlin")
+    est = estimate_pair_transforms_cv(np.asarray(frames))
+    true = []
+    for i in range(len(cams) - 1):
+        a0 = np.vstack([cams[i], [0, 0, 1]])
+        a1 = np.vstack([cams[i + 1], [0, 0, 1]])
+        true.append((np.linalg.inv(a0) @ a1)[:2])
+    s_est = float(stability_score(jnp.asarray(est)))
+    s_true = float(stability_score(jnp.asarray(np.stack(true), jnp.float32)))
+    assert abs(s_est - s_true) < 0.08, (s_est, s_true)
