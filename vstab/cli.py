@@ -70,7 +70,9 @@ def cmd_stabilize(args) -> int:
         from vstab.pipeline_blocked import stabilize_video_blocked
 
         stats = stabilize_video_blocked(
-            args.input, args.output, params, cfg, max_frames=args.max_frames
+            args.input, args.output, params, cfg,
+            block_len=args.block_len, max_frames=args.max_frames,
+            resume=not args.no_resume,
         )
         print(json.dumps(stats))
         return 0
@@ -197,6 +199,12 @@ def main(argv=None) -> int:
                     help="run under jax checkify: fail loudly on NaN/Inf/OOB")
     sp.add_argument("--blocked", action="store_true",
                     help="force temporal-block streaming execution")
+    sp.add_argument("--block-len", type=int, default=None,
+                    help="temporal block length (frames) for the streaming "
+                    "path; default cfg.dist.time_block_len")
+    sp.add_argument("--no-resume", action="store_true",
+                    help="disable the <out>.resume/ block-level checkpoint "
+                    "of the streaming path")
     sp.set_defaults(fn=cmd_stabilize)
 
     ep = sub.add_parser("eval", help="metric sweep over a dataset")
