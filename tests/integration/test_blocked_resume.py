@@ -113,3 +113,36 @@ def test_stale_resume_dir_is_wiped(tmp_path, src_video):
     with open(os.path.join(root, "motion_00000008.npy"), "wb") as f:
         f.write(b"torn")
     assert st.load_motion(8) is None
+
+
+def test_stale_input_or_params_wipes_cache(tmp_path, src_video):
+    """ADVICE r4 (medium): cached motion must be keyed to the input video's
+    identity, its resolution, AND the flow params — a same-length different
+    input or a retrained checkpoint must invalidate, while an identical
+    re-run must NOT."""
+    import jax.numpy as jnp
+
+    from vstab.core.config import Config
+    from vstab.pipeline_blocked import _ResumeState
+
+    root = str(tmp_path / "y.resume")
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    kw = dict(t=100, b=8, in_path=src_video, hw=(H, W), params=params)
+    _ResumeState(root, Config(), **kw).save_motion(0, np.zeros((7, 2)))
+    # identical identity -> cache kept
+    assert _ResumeState(root, Config(), **kw).load_motion(0) is not None
+    # different params -> wiped
+    kw2 = dict(kw, params={"w": jnp.full((3, 3), 2.0), "b": jnp.zeros((3,))})
+    assert _ResumeState(root, Config(), **kw2).load_motion(0) is None
+    # different input file (same length/shape) -> wiped
+    _ResumeState(root, Config(), **kw).save_motion(0, np.zeros((7, 2)))
+    other = str(tmp_path / "other.mp4")
+    import shutil
+
+    shutil.copyfile(src_video, other)
+    kw3 = dict(kw, in_path=other)
+    assert _ResumeState(root, Config(), **kw3).load_motion(0) is None
+    # different resolution -> wiped
+    _ResumeState(root, Config(), **kw).save_motion(0, np.zeros((7, 2)))
+    kw4 = dict(kw, hw=(H * 2, W * 2))
+    assert _ResumeState(root, Config(), **kw4).load_motion(0) is None

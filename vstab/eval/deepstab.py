@@ -197,7 +197,7 @@ def _run_dp_batches(
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from vstab.eval.metrics import evaluate_videos
-    from vstab.pipeline import stabilize
+    from vstab.pipeline import stabilize_batch
 
     n_dev = max(1, len(jax.devices()))
     mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("data",))
@@ -206,11 +206,10 @@ def _run_dp_batches(
     for item in todo:
         by_shape.setdefault(item[1].shape, []).append(item)
 
-    stab_batch = jax.jit(
-        jax.vmap(lambda fr: stabilize(fr, params, cfg)[0]),
-        static_argnums=(),
-    )
-
+    # stabilize_batch (not vmap(stabilize)): the adaptive displacement bound
+    # is picked host-side per batch, so strong-shake clips render identically
+    # to the serial sweep instead of silently falling back to the static
+    # d=16 under vmap (VERDICT r4 item 7).
     results = []
     os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
     for shape, items in by_shape.items():
@@ -224,7 +223,9 @@ def _run_dp_batches(
                 )
             sharding = NamedSharding(mesh, P("data"))
             t0 = time.perf_counter()
-            out = stab_batch(jax.device_put(jnp.asarray(batch), sharding))
+            out = stabilize_batch(
+                jax.device_put(jnp.asarray(batch), sharding), params, cfg
+            )
             out = np.asarray(jax.block_until_ready(out))[:b]
             wall = time.perf_counter() - t0
             for (name, frames, fps), o in zip(group, out):

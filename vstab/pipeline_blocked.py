@@ -235,22 +235,70 @@ def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
 # ---------------------------------------------------------------------------
 
 
+def _params_digest(params) -> str:
+    """sha256 over the flow-net param tree (paths, shapes, dtypes, bytes).
+
+    Cached motion blocks were computed BY a specific network; resuming with
+    a retrained/different checkpoint must invalidate them (ADVICE r4,
+    medium). Params are host numpy right after checkpoint load, so this
+    costs one pass over ~35MB; if they are already on device it is one
+    fetch per run — noise next to the sweep itself."""
+    h = hashlib.sha256()
+    for path, leaf in sorted(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        key=lambda kv: jax.tree_util.keystr(kv[0]),
+    ):
+        arr = np.asarray(leaf)
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
+def _input_identity(path: Optional[str]) -> dict:
+    """Identity of the input video: abspath + size + mtime_ns. A resumed run
+    pointed at a different same-length input must not reuse cached motion
+    (ADVICE r4, medium)."""
+    if path is None:
+        return {}
+    try:
+        st = os.stat(path)
+        return {
+            "input": os.path.abspath(path),
+            "input_size": int(st.st_size),
+            "input_mtime_ns": int(st.st_mtime_ns),
+        }
+    except OSError:
+        return {"input": os.path.abspath(path)}
+
+
 class _ResumeState:
     """Per-block motion cache + solved-scale cache in `<out>.resume/`.
 
     Each motion block is one `motion_<start>.npy`, written atomically
     (tmp + rename) so a kill mid-write never leaves a torn block. meta.json
-    pins (cfg, t, block_len); any mismatch wipes the directory — stale state
-    from a different run must never leak in (cf. eval/deepstab.py manifest
-    healing)."""
+    pins (cfg, t, block_len, input identity, frame shape, params digest);
+    any mismatch wipes the directory — stale state from a different run,
+    input file, or checkpoint must never leak in (cf. eval/deepstab.py
+    manifest healing; ADVICE r4 medium)."""
 
-    def __init__(self, root: str, cfg: Config, t: int, b: int):
+    def __init__(
+        self, root: str, cfg: Config, t: int, b: int,
+        in_path: Optional[str] = None, hw: Optional[Tuple[int, int]] = None,
+        params=None,
+    ):
         self.root = root
         meta = {
             "cfg_sha": hashlib.sha256(cfg.to_json().encode()).hexdigest(),
             "t": int(t),
             "b": int(b),
+            **_input_identity(in_path),
         }
+        if hw is not None:
+            meta["hw"] = [int(hw[0]), int(hw[1])]
+        if params is not None:
+            meta["params_sha"] = _params_digest(params)
         mpath = os.path.join(root, "meta.json")
         if os.path.isdir(root):
             try:
@@ -361,6 +409,10 @@ def stabilize_video_blocked(
         raise FileNotFoundError(f"cannot open video: {in_path}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     t = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    hw = (
+        int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+    )
     cap.release()
     if max_frames is not None:
         t = min(t, max_frames) if t > 0 else max_frames
@@ -387,7 +439,14 @@ def stabilize_video_blocked(
             )
         writer_state["w"].write(blk)
 
-    resume_state = _ResumeState(out_path + ".resume", cfg, t, b) if resume else None
+    resume_state = (
+        _ResumeState(
+            out_path + ".resume", cfg, t, b,
+            in_path=in_path, hw=hw, params=params,
+        )
+        if resume
+        else None
+    )
     stats = _run_blocked(
         chunks, writer, t, params, cfg, b,
         resume_state=resume_state, out_dtype="uint8",
