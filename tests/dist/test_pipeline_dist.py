@@ -59,3 +59,64 @@ def test_sharded_pads_odd_length(mesh, cfg):
     out = stabilize_sharded(clip, params, cfg, mesh=mesh)
     assert out.shape == (t, h, w, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_affine_method_matches_single(mesh, cfg):
+    """VERDICT r4 item 6: round 4 hard-coded the sparse-LS solve and
+    silently ignored cfg.smooth.method='affine'; the sharded affine path
+    (all_gather'ed tiny pair affines + replicated chain/low-pass) must
+    match the single-device affine pipeline."""
+    acfg = cfg.replace(
+        smooth=SmoothConfig(method="affine", affine_sigma=5.0, block_len=8)
+    )
+    t, h, w = 64, 48, 64
+    clip, _ = make_shaky_clip(t=t, h=h, w=w, seed=2)
+    params = default_params(acfg)
+    ref, _ = stabilize(clip, params, acfg)
+    out = stabilize_sharded(clip, params, acfg, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_sharded_unknown_method_raises(mesh, cfg):
+    import dataclasses
+
+    bad = cfg.replace(smooth=dataclasses.replace(cfg.smooth, method="nope"))
+    clip, _ = make_shaky_clip(t=64, h=48, w=64, seed=3)
+    with pytest.raises(ValueError, match="unknown smoothing method"):
+        stabilize_sharded(clip, default_params(cfg), bad, mesh=mesh)
+
+
+def test_sharded_strong_shake_adaptive_matches_single(mesh):
+    """VERDICT r4 item 6 headline: round 4's sharded render used the static
+    d=16 bound, border-filling exactly the shake the single-chip path
+    handled. With the trained checkpoint and contract-style rotation shake
+    the solved bound exceeds 16px; sharded must match serial-adaptive."""
+    from vstab.core.config import RenderConfig
+    from vstab.pipeline import clip_flow, smooth_paths
+    from vstab.render.render import pick_max_disp, residual_disp_bound
+
+    cfg = Config(
+        flow=FlowConfig(compute_dtype="float32", kernel_impl="xla"),
+        render=RenderConfig(kernel_impl="xla"),
+        smooth=SmoothConfig(block_len=4),
+    )
+    params = default_params(cfg)
+    t, h, w = 32, 96, 128
+    clip, _ = make_shaky_clip(
+        t=t, h=h, w=w, seed=5, shake_px=6.0, shake_angle=0.15
+    )
+    clip = jnp.asarray(clip)
+
+    path, _ = smooth_paths(clip_flow(params, clip, cfg), cfg, (h, w))
+    bound = residual_disp_bound(np.asarray(path), h, w, cfg.smooth.method)
+    assert bound > 16.0, f"scenario too mild (bound={bound:.1f}px)"
+    d = pick_max_disp(bound, cfg.render)
+    assert d > 16
+
+    ref, _ = stabilize(clip, params, cfg)
+    out = stabilize_sharded(clip, params, cfg, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-3, atol=5e-3
+    )

@@ -8,13 +8,27 @@ sharded over the "time" mesh axis; every stage is block-local except
   2. vertex-profile cumsum -> exclusive prefix offsets, one `all_gather`
      of per-shard [GH,GW,2] totals;
   3. the smoothing solve  -> distributed Schur (vstab.dist.schur_dist):
-     local interior elimination + all_gather'ed tiny separator system;
+     local interior elimination + all_gather'ed tiny separator system
+     (sparse_ls), or an all_gather of the tiny per-pair affines and a
+     replicated global chain+low-pass (affine method);
   4. 'auto' crop scale    -> one scalar `pmin`.
 
 The reference is single-GPU, whole-clip-in-memory [EXT, SURVEY.md §2.2] —
 this module is the scale-out capability it lacks. Per-chip memory is
 O(T/n_time), enabling 1000+-frame 1080p on one host and multi-host 4K
 (mesh spanning hosts; same code — collectives ride ICI then DCN).
+
+Round-5 structure (VERDICT r4 item 6 — config-5 parity): the pipeline runs
+as TWO jitted shard_maps instead of one. Stage 1 (motion+solve) does the
+expensive pixel work and the distributed solve, returning only the tiny
+solved per-frame path, time-sharded. Between the stages the host fetches
+the path (a few KB) and derives the adaptive render displacement bucket
+exactly as the single-chip paths do (render.residual_disp_bound /
+pick_max_disp) — round 4 rendered with the static d=16 here, so the 4K
+config border-filled exactly the shake the single-chip path handled.
+Stage 2 renders shard-locally with that static bound. Both smoothing
+methods are supported (round 4 hard-coded sparse_ls and silently ignored
+cfg.smooth.method="affine").
 """
 
 from __future__ import annotations
@@ -34,9 +48,13 @@ from vstab.dist.schur_dist import schur_solve_shard
 from vstab.kernels import twopass_validity, warp_twopass
 from vstab.render.render import (
     _auto_scale_per_frame,
+    affine_to_flow,
     grid_to_flow,
+    pick_max_disp,
+    residual_disp_bound_jnp,
     zoom_resample,
 )
+from vstab.smooth.affine import chain_path, fit_affine_from_flow, smooth_path
 from vstab.smooth.sparse_ls import (
     _einsum,
     spatial_modes,
@@ -47,45 +65,34 @@ from vstab.smooth.sparse_ls import (
 Array = jax.Array
 
 
-def _stab_shard(
-    params,
-    frames: Array,
-    td0: Array,
-    td1: Array,
-    td2: Array,
-    v: Array,
-    alpha: Array,
-    *,
-    cfg: Config,
-    t_real: int,
-) -> Array:
-    """Per-shard body (runs under shard_map over the "time" axis).
+def _shard_flow(params, frames: Array, cfg: Config) -> Array:
+    """Per-shard pair flow with a 1-frame right halo (ppermute; SURVEY.md
+    §2.2 "ring-attention analogue"). Last shard edge-replicates:
+    freeze-frame, zero motion for the final pair."""
+    from vstab.pipeline import clip_flow
 
-    frames [T_loc,H,W,3]; td* [T_loc,1] global-band temporal diagonals
-    (length-T convention, see schur_dist); v [G,G], alpha [G] replicated.
-    """
-    t_loc, h, w, _ = frames.shape
+    frames_ext = extend_right(frames, 1, TIME_AXIS)
+    return clip_flow(params, frames_ext, cfg)  # [T_loc, H, W, 2]
+
+
+def _solve_shard_sparse(
+    motion: Array, td0, td1, td2, v, alpha, cfg: Config
+) -> Array:
+    """Distributed sparse-LS solve: local vertex motion [T_loc,GH,GW,2] ->
+    stabilizing displacement grid [T_loc,GH,GW,2] (content-motion conv.)."""
+    t_loc = motion.shape[0]
     sc = cfg.smooth
     gh, gw = sc.grid_size
     g = gh * gw
     m = g * 2
 
-    # --- 1. flow with a 1-frame right halo (ppermute; SURVEY.md §2.2
-    # "ring-attention analogue"). Last shard edge-replicates: freeze-frame.
-    from vstab.pipeline import clip_flow
-
-    frames_ext = extend_right(frames, 1, TIME_AXIS)
-    flow = clip_flow(params, frames_ext, cfg)  # [T_loc, H, W, 2]
-
-    # --- 2. vertex profiles via distributed exclusive cumsum.
-    motion = vertex_motion(flow, sc.grid_size)  # [T_loc, GH, GW, 2]
+    # vertex profiles via distributed exclusive cumsum.
     local_cum = jnp.cumsum(motion, axis=0)
     offset = exclusive_prefix_sum(local_cum[-1], TIME_AXIS)
-    # C_t = sum_{s<t} m_s: exclusive local cumsum + cross-shard offset.
     c = jnp.concatenate([jnp.zeros_like(motion[:1]), local_cum[:-1]], 0)
     c = c + offset[None]
 
-    # --- 3. spectral decoupling (local) + distributed Schur solve.
+    # spectral decoupling (local) + distributed Schur solve.
     cvec = c.reshape(t_loc, g, 2)
     ctil = _einsum("ig,tic->tgc", v, cvec)
     rhs = (alpha[None, :, None] * ctil).reshape(t_loc, m)
@@ -95,18 +102,70 @@ def _stab_shard(
     d2 = jnp.broadcast_to(td2, (t_loc, m))
     ptil = schur_solve_shard(d0, d1, d2, rhs, sc.block_len, TIME_AXIS)
     p = _einsum("ig,tgc->tic", v, ptil.reshape(t_loc, g, 2))
-    disp = cvec - p  # stabilizing displacement, content-motion convention
+    return (cvec - p).reshape(t_loc, gh, gw, 2)
 
-    # --- 4. render: shard-local two-pass warp (kernels/warp1d.py); the
-    # crop zoom is a separable resample; 'auto' needs one global pmin over
-    # per-frame scales, with freeze-frame PADDED frames excluded so padding
-    # cannot change the crop of the real output (ADVICE.md r1, last item).
-    warp_flow = grid_to_flow(disp.reshape(t_loc, gh, gw, 2), h, w)
+
+def _solve_shard_affine(pair: Array, cfg: Config, t_pad: int) -> Array:
+    """Distributed affine solve: local pair affines [T_loc,2,3] ->
+    stabilizing warps [T_loc,2,3]. The per-pair affines are TINY (24B per
+    frame), so the global chain + Gaussian low-pass runs replicated after
+    one all_gather — the affine path's analogue of the gathered separator
+    system in the Schur solve."""
+    from vstab.smooth.affine import stabilizing_transforms
+
+    t_loc = pair.shape[0]
+    full = jax.lax.all_gather(pair, TIME_AXIS, axis=0, tiled=True)  # [T,2,3]
+    path = chain_path(full[: t_pad - 1])
+    sm = smooth_path(path, sigma=cfg.smooth.affine_sigma)
+    warps = stabilizing_transforms(path, sm)  # [T_pad, 2, 3]
+    start = jax.lax.axis_index(TIME_AXIS) * t_loc
+    return jax.lax.dynamic_slice_in_dim(warps, start, t_loc, axis=0)
+
+
+def _motion_shard(
+    params, frames: Array, td0, td1, td2, v, alpha, *, cfg: Config, t_pad: int
+) -> Tuple[Array, Array]:
+    """Stage 1 body: frames [T_loc,H,W,3] -> (solved per-frame path shard
+    — [T_loc,GH,GW,2] disp grid or [T_loc,2,3] affine warps — and the
+    replicated global residual-displacement bound scalar). The bound is a
+    shard-local `residual_disp_bound_jnp` + pmax, so every process holds it
+    without a cross-process host fetch of the sharded path."""
+    h, w = frames.shape[1:3]
+    flow = _shard_flow(params, frames, cfg)
+    if cfg.smooth.method == "affine":
+        path = _solve_shard_affine(fit_affine_from_flow(flow), cfg, t_pad)
+    elif cfg.smooth.method == "sparse_ls":
+        motion = vertex_motion(flow, cfg.smooth.grid_size)
+        path = _solve_shard_sparse(motion, td0, td1, td2, v, alpha, cfg)
+    else:
+        raise ValueError(
+            f"stabilize_sharded: unknown smoothing method "
+            f"{cfg.smooth.method!r} (expected 'affine' or 'sparse_ls')"
+        )
+    bound = jax.lax.pmax(
+        residual_disp_bound_jnp(path, h, w, cfg.smooth.method), TIME_AXIS
+    )
+    return path, bound
+
+
+def _render_shard(
+    frames: Array, path: Array, *, cfg: Config, t_real: int, max_disp: int
+) -> Array:
+    """Stage 2 body: shard-local two-pass warp + crop. `max_disp` is the
+    adaptive bucket derived host-side from the full solved path — identical
+    to the single-chip pipelines (VERDICT r4 item 6). 'auto' crop needs one
+    global pmin over per-frame scales, with freeze-frame PADDED frames
+    excluded so padding cannot change the crop of the real output."""
+    t_loc, h, w, _ = frames.shape
+    if cfg.smooth.method == "affine":
+        warp_flow = affine_to_flow(path, h, w)
+    else:
+        warp_flow = grid_to_flow(path, h, w)
     rc = cfg.render
     out = warp_twopass(
-        frames, warp_flow, max_disp=rc.max_residual_disp, impl=rc.kernel_impl
+        frames, warp_flow, max_disp=max_disp, impl=rc.kernel_impl
     )
-    mask = twopass_validity((h, w), warp_flow, rc.max_residual_disp)[..., None]
+    mask = twopass_validity((h, w), warp_flow, max_disp)[..., None]
     if rc.crop_mode == "none":
         return out * mask + rc.border_value * (1.0 - mask)
     if rc.crop_mode == "fixed":
@@ -135,10 +194,10 @@ def _band_diagonals(t_pad: int, sc) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "t_real"))
-def _stabilize_padded(params, frames, td0, td1, td2, v, alpha, cfg, mesh, t_real):
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "t_pad"))
+def _solve_sharded(params, frames, td0, td1, td2, v, alpha, cfg, mesh, t_pad):
     fn = jax.shard_map(
-        functools.partial(_stab_shard, cfg=cfg, t_real=t_real),
+        functools.partial(_motion_shard, cfg=cfg, t_pad=t_pad),
         mesh=mesh,
         in_specs=(
             P(),
@@ -149,10 +208,26 @@ def _stabilize_padded(params, frames, td0, td1, td2, v, alpha, cfg, mesh, t_real
             P(),
             P(),
         ),
-        out_specs=P(TIME_AXIS),
+        out_specs=(P(TIME_AXIS), P()),
         check_vma=False,
     )
     return fn(params, frames, td0, td1, td2, v, alpha)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "t_real", "max_disp")
+)
+def _render_sharded(frames, path, cfg, mesh, t_real, max_disp):
+    fn = jax.shard_map(
+        functools.partial(
+            _render_shard, cfg=cfg, t_real=t_real, max_disp=max_disp
+        ),
+        mesh=mesh,
+        in_specs=(P(TIME_AXIS), P(TIME_AXIS)),
+        out_specs=P(TIME_AXIS),
+        check_vma=False,
+    )
+    return fn(frames, path)
 
 
 def stabilize_sharded(
@@ -161,12 +236,14 @@ def stabilize_sharded(
     """Time-parallel stabilize: [T,H,W,3] -> [T,H,W,3] over mesh axis "time".
 
     Pads T (freeze-frame) so every shard holds an integer number of solver
-    blocks; output is sliced back to T.
+    blocks; output is sliced back to T. Two jitted stages with a host-side
+    adaptive displacement-bucket pick between them (module docstring).
     """
     mesh = mesh if mesh is not None else make_mesh(cfg.dist)
     n_t = mesh.shape[TIME_AXIS]
     bl = cfg.smooth.block_len
     t = frames.shape[0]
+    h, w = frames.shape[1:3]
     t_pad = -(-t // (n_t * bl)) * (n_t * bl)
     if t_pad > t:
         frames = jnp.concatenate(
@@ -183,13 +260,21 @@ def stabilize_sharded(
 
     ts = NamedSharding(mesh, P(TIME_AXIS))
     frames = jax.device_put(frames, ts)
-    out = _stabilize_padded(
+    path, bound = _solve_sharded(
         params, frames, *(jax.device_put(x, ts) for x in (td0, td1, td2)),
         jax.device_put(v, NamedSharding(mesh, P())),
         jax.device_put(alpha, NamedSharding(mesh, P())),
-        cfg, mesh, t,
+        cfg, mesh, t_pad,
     )
+    if cfg.render.adaptive_max_disp:
+        # `bound` is replicated (pmax'd in-graph), so the host fetch is one
+        # addressable scalar on every process; padded freeze-frames only
+        # repeat real path entries, so they cannot raise the bound.
+        max_disp = pick_max_disp(float(jax.device_get(bound)), cfg.render)
+    else:
+        max_disp = cfg.render.max_residual_disp
+    out = _render_sharded(frames, path, cfg, mesh, t, max_disp)
     return out[:t]
 
 
-__all__ = ["stabilize_sharded", "_stab_shard", "_band_diagonals"]
+__all__ = ["stabilize_sharded", "_band_diagonals"]

@@ -147,10 +147,13 @@ def _resize_mean_weights(g: int, n: int) -> tuple:
     """[g] pixel-mean weights of jax.image.resize 'bilinear' from g control
     points to n samples: w[v] = mean_i M[i,v] where M is the n x g resize
     matrix. Computed by resizing the identity (axis 0 is size-preserving,
-    hence untouched)."""
-    eye = jnp.eye(g, dtype=jnp.float32)
-    m = jax.image.resize(eye, (g, n), method="bilinear")  # [g, n]
-    return tuple(np.asarray(jnp.mean(m, axis=1), dtype=np.float32))
+    hence untouched). ensure_compile_time_eval: the first call may come from
+    inside a jit trace (e.g. residual_disp_bound_jnp in the sharded
+    pipeline) — the weights are static and must be computed eagerly."""
+    with jax.ensure_compile_time_eval():
+        eye = jnp.eye(g, dtype=jnp.float32)
+        m = jax.image.resize(eye, (g, n), method="bilinear")  # [g, n]
+        return tuple(np.asarray(jnp.mean(m, axis=1), dtype=np.float32))
 
 
 def residual_disp_bound(path: np.ndarray, h: int, w: int, method: str) -> float:
@@ -180,6 +183,28 @@ def residual_disp_bound(path: np.ndarray, h: int, w: int, method: str) -> float:
     wx = np.asarray(_resize_mean_weights(gw, w), np.float32)
     mean = np.einsum("g,q,tgqc->tc", wy, wx, path)
     return float(np.abs(path - mean[:, None, None, :]).max())
+
+
+def residual_disp_bound_jnp(path: Array, h: int, w: int, method: str) -> Array:
+    """In-graph twin of `residual_disp_bound` (same arithmetic, jnp f32) —
+    for the multi-process sharded pipeline, where each shard bounds its
+    LOCAL path slice and the global bound is a `pmax` (a host fetch of the
+    time-sharded path is not addressable across processes). The bucketing
+    in pick_max_disp absorbs any reduction-order jitter vs the host twin."""
+    if method == "affine":
+        pts = jnp.asarray(
+            [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1],
+             [(w - 1) / 2.0, (h - 1) / 2.0]],
+            jnp.float32,
+        )  # [5,2]: 4 corners + center
+        lin = path[:, :, :2] @ pts.T + path[:, :, 2:3]  # [T,2,5]
+        fl = lin - pts.T[None]
+        return jnp.abs(fl[:, :, :4] - fl[:, :, 4:5]).max()
+    t, gh, gw, _ = path.shape
+    wy = jnp.asarray(_resize_mean_weights(gh, h), jnp.float32)
+    wx = jnp.asarray(_resize_mean_weights(gw, w), jnp.float32)
+    mean = jnp.einsum("g,q,tgqc->tc", wy, wx, path)
+    return jnp.abs(path - mean[:, None, None, :]).max()
 
 
 def pick_max_disp(bound: float, cfg: RenderConfig) -> int:
