@@ -118,3 +118,39 @@ def test_tracker_stability_matches_ground_truth_on_low_texture():
     s_est = float(stability_score(jnp.asarray(est)))
     s_true = float(stability_score(jnp.asarray(np.stack(true), jnp.float32)))
     assert abs(s_est - s_true) < 0.08, (s_est, s_true)
+
+
+def test_video_distortion_detects_anisotropy():
+    """VERDICT r4 item 2: the video-based distortion metric must MEASURE
+    distortion. Round 4 fitted cross-transforms with estimateAffinePartial2D
+    (similarity-only), whose singular values are equal by construction —
+    every output scored exactly 1.0. With the full 6-DOF fit, a deliberately
+    0.8x-anisotropic output must score ~0.8 and an identity output ~1.0."""
+    import cv2
+    import numpy as np
+
+    from vstab.eval.metrics import (
+        distortion_score,
+        estimate_cross_transforms_cv,
+    )
+    from vstab.eval.synthetic import make_scene
+
+    h, w, t = 160, 192, 4
+    frames = np.stack(
+        [make_scene("checker", h, w, seed=s) for s in range(t)]
+    ).astype(np.float32)
+    # anisotropic output: x squeezed to 0.8 about the frame center
+    aniso = np.array([[0.8, 0.0, 0.1 * (w - 1) / 2], [0.0, 1.0, 0.0]])
+    out_frames = np.stack(
+        [
+            cv2.warpAffine(f, aniso, (w, h), flags=cv2.INTER_LINEAR)
+            for f in frames
+        ]
+    )
+    cross = estimate_cross_transforms_cv(frames, out_frames)
+    d = float(distortion_score(np.asarray(cross)))
+    assert 0.7 < d < 0.9, f"anisotropic output scored {d:.3f} (blind metric)"
+
+    cross_id = estimate_cross_transforms_cv(frames, frames)
+    d_id = float(distortion_score(np.asarray(cross_id)))
+    assert d_id > 0.97, f"identity output scored {d_id:.3f}"
