@@ -48,6 +48,10 @@ class SmoothConfig:
     affine_sigma: float = 9.0
     # Mesh-grid size for sparse-LS smoothing.
     grid_size: Tuple[int, int] = (12, 16)  # (GH, GW)
+    # IRLS rounds of the robust (soft-median) vertex pooling: foreground
+    # objects moving independently of the camera are down-weighted instead
+    # of dragging the vertex profiles (VERDICT r4 item 3). 0 = plain mean.
+    robust_iters: int = 2
     # Term weights: data (follow original), temporal smoothness, spatial
     # rigidity. Tuned against the round-4 flow checkpoint: the round-3
     # weights (40/10/200) were calibrated against a net that systematically

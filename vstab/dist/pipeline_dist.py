@@ -135,7 +135,9 @@ def _motion_shard(
     if cfg.smooth.method == "affine":
         path = _solve_shard_affine(fit_affine_from_flow(flow), cfg, t_pad)
     elif cfg.smooth.method == "sparse_ls":
-        motion = vertex_motion(flow, cfg.smooth.grid_size)
+        motion = vertex_motion(
+            flow, cfg.smooth.grid_size, cfg.smooth.robust_iters
+        )
         path = _solve_shard_sparse(motion, td0, td1, td2, v, alpha, cfg)
     else:
         raise ValueError(

@@ -217,6 +217,94 @@ def make_shaky_clip(
     return frames.astype(np.float32), cams
 
 
+# ---------------------------------------------------------------------------
+# Dynamic scenes: independently moving foreground occluders + parallax
+# (VERDICT r4 item 3 — every earlier scene was a single plane under a global
+# camera warp; DeepStab clips are full of pedestrians/cars/depth).
+# ---------------------------------------------------------------------------
+
+
+def _occluder_tracks(
+    t: int, n_occ: int, h: int, w: int, rng: np.random.Generator,
+    speed_px: float,
+) -> list:
+    """Per-occluder geometry + smooth independent trajectories.
+
+    Each occluder is a textured ellipse whose center follows drift + a
+    sine wobble — smooth WORLD motion, deliberately not white noise, so a
+    correct stabilizer must NOT chase it (foreground motion is content,
+    not camera shake)."""
+    occs = []
+    for _ in range(n_occ):
+        ry = rng.uniform(h / 9.0, h / 4.5)
+        rx = rng.uniform(w / 9.0, w / 4.5)
+        cy0 = rng.uniform(ry, h - ry)
+        cx0 = rng.uniform(rx, w - rx)
+        vel = rng.normal(0.0, speed_px, size=2)
+        amp = rng.uniform(0.0, speed_px * 4.0, size=2)
+        ph = rng.uniform(0, 2 * np.pi, size=2)
+        om = rng.uniform(0.05, 0.2, size=2)
+        ts = np.arange(t)
+        cy = cy0 + vel[0] * ts + amp[0] * np.sin(om[0] * ts + ph[0])
+        cx = cx0 + vel[1] * ts + amp[1] * np.sin(om[1] * ts + ph[1])
+        # depth in (0,1]: scales the CAMERA's effect on the occluder
+        # (parallax — near objects move more under camera translation)
+        depth = rng.uniform(0.5, 1.0)
+        occs.append({
+            "ry": ry, "rx": rx, "cy": cy, "cx": cx, "depth": depth,
+            "tex_seed": int(rng.integers(0, 2**31 - 1)),
+        })
+    return occs
+
+
+def make_dynamic_clip(
+    t: int = 30,
+    h: int = 256,
+    w: int = 320,
+    seed: int = 0,
+    scene_kind: str = "checker",
+    n_occluders: int = 3,
+    occluder_speed_px: float = 1.0,
+    **jitter_kw,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shaky clip with independently moving textured foreground occluders
+    and parallax: returns (frames [T,H,W,3] f32, background camera
+    transforms [T,2,3] — the trajectory a correct stabilizer follows).
+
+    Layer model: the background is `make_shaky_clip`'s planar scene under
+    the camera path C_t; each occluder is an ellipse of `shapes`-style
+    texture whose center follows its OWN smooth world trajectory, then is
+    viewed through a depth-scaled copy of the camera (near layers shake
+    more — parallax). Occluders cover roughly 15-25% of the frame for the
+    default n_occluders=3."""
+    rng = np.random.default_rng(seed + 991)
+    frames, cams = make_shaky_clip(
+        t=t, h=h, w=w, seed=seed, scene_kind=scene_kind, **jitter_kw
+    )
+    frames = frames.copy()
+    occs = _occluder_tracks(t, n_occluders, h, w, rng, occluder_speed_px)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for occ in occs:
+        tex = make_scene("shapes", h, w, seed=occ["tex_seed"])
+        for ti in range(t):
+            # world center -> screen center through the depth-scaled camera:
+            # screen p shows world C_t(p); the occluder sits at world X_t,
+            # so its screen position solves C~_t(p) = X_t with C~ the
+            # camera scaled toward identity by (1 - depth).
+            cam = cams[ti]
+            a = np.eye(2) + occ["depth"] * (cam[:, :2] - np.eye(2))
+            b = occ["depth"] * cam[:, 2]
+            ctr = np.linalg.solve(a, [occ["cx"][ti], occ["cy"][ti]] - b)
+            dy = (yy - ctr[1]) / occ["ry"]
+            dx = (xx - ctr[0]) / occ["rx"]
+            m = (dx * dx + dy * dy) < 1.0
+            # texture rides with the occluder (sampled in its own frame)
+            sy = np.clip(yy - ctr[1] + h / 2.0, 0, h - 1).astype(np.int32)
+            sx = np.clip(xx - ctr[0] + w / 2.0, 0, w - 1).astype(np.int32)
+            frames[ti][m] = tex[sy[m], sx[m]]
+    return frames.astype(np.float32), cams
+
+
 __all__ = [
     "checker_scene",
     "perlin_scene",
@@ -225,4 +313,5 @@ __all__ = [
     "SCENE_FNS",
     "jitter_trajectory",
     "make_shaky_clip",
+    "make_dynamic_clip",
 ]

@@ -186,19 +186,93 @@ def make_scene_pool(
     )
 
 
+def _add_occluders(
+    rng: jax.Array,
+    im1: Array,
+    im2: Array,
+    flow: Array,
+    scenes: Array,
+    max_disp: float,
+    n_occ: int = 3,
+) -> Tuple[Array, Array, Array]:
+    """Dynamic-scene augmentation (VERDICT r4 item 3): paste up to `n_occ`
+    independently TRANSLATING textured ellipses over a warped pair, with
+    exact GT flow.
+
+    Construction keeps the labels exact under the batch convention
+    im2(p) = im1(p + flow(p)): occluder k occupies the ellipse E1 (center
+    c) in im1 showing texture tex, and the shifted ellipse E2 (center
+    c - d) in im2 showing the same texture shifted by d — so for p in E2,
+    im2(p) = tex(p + d) = im1(p + d) exactly, giving GT flow d there.
+    Disoccluded background pixels (bg visible in im2 whose im1 source was
+    covered) keep the background label — geometrically right, photometric
+    supervision unknowable; a few percent of pixels, standard for layered
+    synthetic flow data. Occluders are drawn in a fixed order in BOTH
+    frames, so overlaps stay consistent."""
+    n, h, w, _ = im1.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    s = scenes.shape[0]
+    for j in range(n_occ):
+        kj = jax.random.fold_in(rng, j)
+        ktex, kgeo, kmove, kon = jax.random.split(kj, 4)
+        tex = scenes[jax.random.randint(ktex, (n,), 0, s)]
+        cy = jax.random.uniform(kgeo, (n,), minval=0.15 * h, maxval=0.85 * h)
+        cx = jax.random.uniform(
+            jax.random.fold_in(kgeo, 1), (n,), minval=0.15 * w, maxval=0.85 * w
+        )
+        ry = jax.random.uniform(
+            jax.random.fold_in(kgeo, 2), (n,), minval=h / 7.0, maxval=h / 3.5
+        )
+        rx = jax.random.uniform(
+            jax.random.fold_in(kgeo, 3), (n,), minval=w / 7.0, maxval=w / 3.5
+        )
+        # independent motion, most of the global translation range; kept
+        # below the occluder radius so the disocclusion band (wrong-label
+        # pixels) stays a small fraction of each occluder
+        d = 0.75 * max_disp * jax.random.uniform(
+            kmove, (n, 2), minval=-1.0, maxval=1.0
+        )
+        # each occluder active on ~60% of samples
+        on = (jax.random.uniform(kon, (n,)) < 0.6).astype(jnp.float32)
+
+        def ell(cy_, cx_):
+            dy = (yy[None] - cy_[:, None, None]) / ry[:, None, None]
+            dx = (xx[None] - cx_[:, None, None]) / rx[:, None, None]
+            return (dy * dy + dx * dx < 1.0).astype(jnp.float32) * on[
+                :, None, None
+            ]
+
+        m1 = ell(cy, cx)[..., None]
+        m2 = ell(cy - d[:, 1], cx - d[:, 0])[..., None]
+        im1 = im1 * (1.0 - m1) + tex * m1
+        tex_shift = bilinear_warp(
+            tex, jnp.broadcast_to(d[:, None, None, :], (n, h, w, 2)),
+            impl="xla",
+        )
+        im2 = im2 * (1.0 - m2) + tex_shift * m2
+        flow = flow * (1.0 - m2) + jnp.broadcast_to(
+            d[:, None, None, :], (n, h, w, 2)
+        ) * m2
+    return im1, im2, flow
+
+
 def _sample_batch(
-    rng: jax.Array, scenes: Array, n: int, max_disp: float, blur: bool = True
+    rng: jax.Array, scenes: Array, n: int, max_disp: float, blur: bool = True,
+    occluders: bool = True,
 ) -> Dict[str, Array]:
-    """On-device labeled batch: scene pick + (global affine ∘ low-freq) flow.
+    """On-device labeled batch: scene pick + (global affine ∘ low-freq) flow
+    + independently moving occluders.
 
     Stabilization flow is dominated by global camera motion, so the GT flow
     mixes a global similarity (translation ±max_disp, rotation ±0.02 rad,
     scale ±2%) with a low-frequency residual field — unlike the pure
     low-freq fields of `synthetic_batch`, this covers the inference regime
-    (shake ≈ global affine per pair).
+    (shake ≈ global affine per pair). `occluders` adds dynamic foreground
+    layers with exact labels (_add_occluders; VERDICT r4 item 3).
     """
     s, h, w, _ = scenes.shape
-    kidx, kaff, kgrid, kbr, kbl = jax.random.split(rng, 5)
+    kidx, kaff, kgrid, kbr, kbl, kocc = jax.random.split(rng, 6)
     idx = jax.random.randint(kidx, (n,), 0, s)
     im1 = scenes[idx]
 
@@ -247,6 +321,8 @@ def _sample_batch(
     )
     flow = aff + jax.image.resize(coarse, (n, h, w, 2), "bicubic")
     im2 = bilinear_warp(im1, flow, impl="xla")
+    if occluders:
+        im1, im2, flow = _add_occluders(kocc, im1, im2, flow, scenes, max_disp)
     # photometric jitter on im1 only (robustness to brightness change)
     gain = 1.0 + 0.08 * jax.random.uniform(kbr, (n, 1, 1, 1), minval=-1.0, maxval=1.0)
     off = 0.04 * jax.random.uniform(
@@ -329,12 +405,15 @@ def eval_epe(
     params, cfg: FlowConfig, hw: Tuple[int, int] = (192, 256),
     n: int = 16, seed: int = 999, max_disp: float = 12.0,
     kinds: Tuple[str, ...] = ("checker", "shapes"),
+    occluders: bool = False,
 ) -> float:
     """Held-out synthetic EPE at full input resolution (the M6 gate metric).
 
     kinds=('perlin',) gives the cross-distribution gate: a scene family the
     trainer never saw (different seeds alone are a near-train eval —
-    VERDICT r3 weak-5)."""
+    VERDICT r3 weak-5). occluders=True measures the dynamic-scene regime
+    (independently moving foreground; VERDICT r4 item 3) — off by default
+    so the static-scene gates keep their historical meaning."""
     from vstab.flow.pwcnet import estimate_flow
 
     scenes = make_scene_pool(8, hw[0], hw[1], seed=seed, kinds=kinds)
@@ -342,7 +421,9 @@ def eval_epe(
     epes = []
     for i in range(-(-n // 8)):
         batch = jax.jit(
-            lambda r: _sample_batch(r, scenes, 8, max_disp, blur=False)
+            lambda r: _sample_batch(
+                r, scenes, 8, max_disp, blur=False, occluders=occluders
+            )
         )(jax.random.fold_in(rng, i))
         fl = estimate_flow(params, batch["im1"], batch["im2"], cfg)
         err = jnp.sqrt(jnp.sum((fl - batch["flow"]) ** 2, -1) + 1e-12)

@@ -109,7 +109,7 @@ def _block_motion(params, blk: Array, cfg: Config) -> Array:
     flow = clip_flow(params, _norm(blk), cfg)
     if cfg.smooth.method == "affine":
         return fit_affine_from_flow(flow)
-    return vertex_motion(flow, cfg.smooth.grid_size)
+    return vertex_motion(flow, cfg.smooth.grid_size, cfg.smooth.robust_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hw"))

@@ -66,28 +66,59 @@ def _pool_matrices(h: int, w: int, gh: int, gw: int):
     return sel(h, gh), sel(w, gw)
 
 
-def vertex_motion(flow: Array, grid_size: Tuple[int, int]) -> Array:
+def _pool(by: Array, bx: Array, field: Array) -> Array:
+    """Separable cell pooling: [N,H,W,C] -> [N,GH,GW,C] (two MXU matmuls)."""
+    return _einsum("xw,ngwc->ngxc", bx, _einsum("gh,nhwc->ngwc", by, field))
+
+
+def vertex_motion(
+    flow: Array, grid_size: Tuple[int, int], robust_iters: int = 2
+) -> Array:
     """Per-vertex motion from dense flow: [N,H,W,2] -> [N,GH,GW,2].
 
-    Robust local aggregate: average-pool the flow over each grid cell.
-    Separable pooling as two selector matmuls (MXU) — the round-1 version
-    ran two full-res spatial cumsums, scan-shaped work that dominated the
-    smoothing stage on TPU (VERDICT.md "What's weak" 1; measured 2.5s of the
-    720p bench). Median would be more robust to foreground motion; mean
-    keeps it two matmuls — revisit with a trained flow net.
+    Robust local aggregate: IRLS (Geman-McClure) weighted cell pooling —
+    a soft median. A plain average lets independently moving foreground
+    (pedestrians/cars; VERDICT r4 item 3) drag the vertex profile away
+    from the camera motion; each IRLS round down-weights pixels whose
+    flow disagrees with the current cell estimate, with the robustness
+    scale derived per cell from the mean absolute residual (so the same
+    code works at any resolution/shake magnitude). Everything stays two
+    selector matmuls per pooling (MXU) plus elementwise work — the round-1
+    full-res spatial cumsum formulation dominated the smoothing stage on
+    TPU (VERDICT r1 "weak" 1). robust_iters=0 recovers the plain mean.
     """
     n, h, w, _ = flow.shape
     gh, gw = grid_size
     by_np, bx_np = _pool_matrices(h, w, gh, gw)
     by = jnp.asarray(by_np)
     bx = jnp.asarray(bx_np)
-    pooled_rows = _einsum("gh,nhwc->ngwc", by, flow)
-    return _einsum("xw,ngwc->ngxc", bx, pooled_rows)
+    # 0/1 broadcast-back matrices (each pixel belongs to exactly one cell).
+    byb = jnp.asarray((by_np > 0).astype(np.float32))
+    bxb = jnp.asarray((bx_np > 0).astype(np.float32))
+    est = _pool(by, bx, flow)  # plain mean init
+    for _ in range(max(0, robust_iters)):
+        # broadcast the cell estimate back to its pixels
+        est_pix = _einsum(
+            "hg,ngwc->nhwc", byb.T, _einsum("wx,ngxc->ngwc", bxb.T, est)
+        )
+        r2 = jnp.sum((flow - est_pix) ** 2, axis=-1, keepdims=True)
+        # per-cell scale: c = 1.5 * mean|r| + eps, broadcast back
+        c_cell = 1.5 * _pool(by, bx, jnp.sqrt(r2)) + 0.25
+        c_pix = _einsum(
+            "hg,ngwc->nhwc", byb.T, _einsum("wx,ngxc->ngwc", bxb.T, c_cell)
+        )
+        wgt = c_pix**2 / (c_pix**2 + r2)  # Geman-McClure
+        est = _pool(by, bx, wgt * flow) / jnp.maximum(
+            _pool(by, bx, wgt), 1e-6
+        )
+    return est
 
 
-def vertex_profiles(flow: Array, grid_size: Tuple[int, int]) -> Array:
+def vertex_profiles(
+    flow: Array, grid_size: Tuple[int, int], robust_iters: int = 2
+) -> Array:
     """Accumulated vertex paths C: [T-1,H,W,2] flow -> [T,GH,GW,2]."""
-    m = vertex_motion(flow, grid_size)
+    m = vertex_motion(flow, grid_size, robust_iters)
     zero = jnp.zeros_like(m[:1])
     return jnp.concatenate([zero, jnp.cumsum(m, axis=0)], axis=0)
 
@@ -188,7 +219,7 @@ def smooth_grid_field(
     disp = C - P (real camera path minus smoothed path, in content-motion
     convention — see vstab.smooth.affine for the affine-path derivation).
     """
-    c = vertex_profiles(flow, cfg.grid_size)
+    c = vertex_profiles(flow, cfg.grid_size, cfg.robust_iters)
     p = smooth_profiles(c, cfg)
     disp = c - p
     return disp, {"profiles": c, "smoothed": p}
