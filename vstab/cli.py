@@ -155,10 +155,17 @@ def cmd_bench(args) -> int:
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat CLI invocations skip the
     minutes of TPU compiles (a cold 1000-frame 1080p run spends ~2 min
-    compiling the T-length solver alone). Opt out with VSTAB_JAX_CACHE=''."""
+    compiling the T-length solver alone). Opt out with VSTAB_JAX_CACHE=''.
+
+    Default is per-user (~/.cache/vstab/jax): a shared fixed /tmp path on a
+    multi-user box fails on another user's ownership — or shares cache
+    contents across users (ADVICE r4, low)."""
     import os
 
-    cache = os.environ.get("VSTAB_JAX_CACHE", "/tmp/jax_cache")
+    default = os.path.join(
+        os.path.expanduser("~"), ".cache", "vstab", "jax"
+    )
+    cache = os.environ.get("VSTAB_JAX_CACHE", default)
     if cache:
         import jax
 

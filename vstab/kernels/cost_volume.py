@@ -115,6 +115,16 @@ def _cv_pick_tiles(wp: int, c: int, nd: int, r: int, itemsize: int):
             f"cost_volume_pallas: no (tile_h, tile_w) fits VMEM for "
             f"wp={wp}, c={c}, nd={nd} — width/channel combination too large"
         )
+    # Over-budget fallback: warn so an eventual Mosaic scoped-VMEM compile
+    # error is traceable to the tiling choice (ADVICE r4, low).
+    import logging
+
+    logging.getLogger("vstab.kernels").warning(
+        "cost_volume_pallas: smallest tiling (tile_h=%d, tile_w=%d) still "
+        "exceeds the %dMB VMEM budget for wp=%d C=%d nd=%d; the Mosaic "
+        "compile may fail with a scoped-VMEM error",
+        best[0], best[1], _VMEM_BUDGET >> 20, wp, c, nd,
+    )
     return best
 
 

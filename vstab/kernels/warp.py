@@ -242,7 +242,19 @@ def _bw_pick_tiles(wp: int, c: int, th: int, itemsize: int):
         if est <= _VMEM_BUDGET:
             return tw, tc, False
         best = (tw, tc, False)
-    return best if best is not None else (wp, tc, True)
+    # Nothing fit the budget: return the least-bad tiling but SAY SO — the
+    # eventual failure otherwise surfaces as an opaque Mosaic scoped-VMEM
+    # compile error far from the cause (ADVICE r4, low).
+    import logging
+
+    fallback = best if best is not None else (wp, tc, True)
+    logging.getLogger("vstab.kernels").warning(
+        "bilinear_warp_pallas: no tiling fits the %dMB VMEM budget for "
+        "wp=%d C=%d tile_h=%d (falling back to tile_w=%d tile_c=%d; the "
+        "Mosaic compile may fail with a scoped-VMEM error)",
+        _VMEM_BUDGET >> 20, wp, c, th, fallback[0], fallback[1],
+    )
+    return fallback
 
 
 @functools.partial(
