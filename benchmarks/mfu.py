@@ -97,22 +97,29 @@ def flow_flops(cfg, h: int, w: int) -> Dict[str, float]:
     return stages
 
 
-def _time_fn(fn, args_list: List[tuple], warmup: int = 1) -> float:
-    """Median seconds per call over distinct inputs (defeats the remote
-    dispatch dedup); completion forced via a small-reduction fetch."""
+def _time_fn(fn, stacked_args: tuple, reps: int) -> float:
+    """Seconds per rep, measured as ONE dispatch of a lax.map chain over
+    `reps` DISTINCT input slices (leading axis), reduced to one scalar.
+    Per-call timing through the axon tunnel is floored at ~10-20 ms of
+    dispatch+fetch (BASELINE.md measurement hygiene), which swamps any
+    sub-50ms component — the in-graph chain amortizes it to one round
+    trip; distinct inputs defeat the remote-execution dedup."""
     import jax
     import jax.numpy as jnp
 
-    for a in args_list[:warmup]:
-        float(jnp.sum(fn(*a)[0] if isinstance(fn(*a), tuple) else fn(*a)))
-    ts = []
-    for a in args_list[warmup:]:
-        t0 = time.perf_counter()
-        out = fn(*a)
-        out0 = out[0] if isinstance(out, tuple) else out
-        float(jnp.sum(out0))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    @jax.jit
+    def chain(args):
+        def body(a):
+            out = fn(*a)
+            out0 = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(out0.astype(jnp.float32))
+
+        return jnp.sum(jax.lax.map(body, args))
+
+    float(chain(stacked_args))  # compile + warm
+    t0 = time.perf_counter()
+    float(chain(stacked_args))
+    return (time.perf_counter() - t0) / reps
 
 
 def measure(cfg, h: int, w: int, pairs: int, reps: int = 4) -> Dict[str, float]:
@@ -123,33 +130,29 @@ def measure(cfg, h: int, w: int, pairs: int, reps: int = 4) -> Dict[str, float]:
     import jax.numpy as jnp
 
     from vstab.flow.encoder import FeaturePyramid
-    from vstab.flow.pwcnet import PWCNet, pad_to_multiple
+    from vstab.flow.pwcnet import PWCNet
     from vstab.kernels import bilinear_warp, cost_volume
-    from vstab.pipeline import default_params
 
-    mult = 2 ** len(cfg.pyramid_channels)
     rng = np.random.default_rng(0)
 
     def mk(shape):
-        return jnp.asarray(rng.random(shape, np.float32))
+        return jnp.asarray(rng.random((reps,) + shape, np.float32))
 
     params = default_params_flow(cfg)
     dtype = jnp.dtype(cfg.compute_dtype)
 
     res: Dict[str, float] = {}
     net = PWCNet(cfg)
-    full = jax.jit(lambda p, a, b: net.apply(p, a, b)["flow"])
-    ims = [
-        (params, mk((pairs, h, w, 3)), mk((pairs, h, w, 3)))
-        for _ in range(reps + 1)
-    ]
-    res["full_flow"] = _time_fn(full, ims)
+    res["full_flow"] = _time_fn(
+        lambda a, b: net.apply(params, a, b)["flow"],
+        (mk((pairs, h, w, 3)), mk((pairs, h, w, 3))),
+        reps,
+    )
 
     pyr = FeaturePyramid(cfg.pyramid_channels, dtype=dtype)
     pyr_params = {"params": params["params"]["pyramid"]}
-    enc = jax.jit(lambda p, a: pyr.apply(p, a)[-1])
     res["encoder(x2 frames)"] = 2 * _time_fn(
-        enc, [(pyr_params, mk((pairs, h, w, 3))) for _ in range(reps + 1)]
+        lambda a: pyr.apply(pyr_params, a)[-1], (mk((pairs, h, w, 3)),), reps
     )
 
     cv_t = warp_t = 0.0
@@ -157,42 +160,32 @@ def measure(cfg, h: int, w: int, pairs: int, reps: int = 4) -> Dict[str, float]:
     for idx in range(len(cfg.pyramid_channels) - 1, fine_idx - 1, -1):
         hl, wl = h >> (idx + 1), w >> (idx + 1)
         c = cfg.pyramid_channels[idx]
-        f = jax.jit(
+        cv_t += _time_fn(
             lambda a, b: cost_volume(
                 a, b, radius=cfg.search_radius, impl=cfg.kernel_impl
-            )
-        )
-        cv_t += _time_fn(
-            f,
-            [
-                (
-                    mk((pairs, hl, wl, c)).astype(dtype),
-                    mk((pairs, hl, wl, c)).astype(dtype),
-                )
-                for _ in range(reps + 1)
-            ],
+            ),
+            (
+                mk((pairs, hl, wl, c)).astype(dtype),
+                mk((pairs, hl, wl, c)).astype(dtype),
+            ),
+            reps,
         )
         if idx != len(cfg.pyramid_channels) - 1:
-            g = jax.jit(
+            warp_t += _time_fn(
                 lambda a, fl: bilinear_warp(
                     a, fl, impl=cfg.kernel_impl, max_disp=cfg.warp_max_disp
-                )
-            )
-            warp_t += _time_fn(
-                g,
-                [
-                    (
-                        mk((pairs, hl, wl, c)).astype(dtype),
-                        (mk((pairs, hl, wl, 2)) * 8 - 4).astype(dtype),
-                    )
-                    for _ in range(reps + 1)
-                ],
+                ),
+                (
+                    mk((pairs, hl, wl, c)).astype(dtype),
+                    (mk((pairs, hl, wl, 2)) * 8 - 4).astype(dtype),
+                ),
+                reps,
             )
     res["cost_volume(all levels)"] = cv_t
     res["feature_warp(all levels)"] = warp_t
     res["estimators+context (residual)"] = max(
         res["full_flow"]
-        - res["encoder(x2 frames)"] / 2  # clip_flow shares frames across pairs
+        - res["encoder(x2 frames)"]
         - cv_t
         - warp_t,
         0.0,

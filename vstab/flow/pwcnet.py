@@ -44,13 +44,25 @@ class PWCNet(nn.Module):
     cfg: FlowConfig = FlowConfig()
 
     @nn.compact
-    def __call__(self, im1: Array, im2: Array) -> Dict[str, object]:
+    def __call__(
+        self, im1: Array, im2: Array, feats: Tuple | None = None
+    ) -> Dict[str, object]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         num_levels = len(cfg.pyramid_channels)
-        pyramid = FeaturePyramid(cfg.pyramid_channels, dtype=dtype, name="pyramid")
-        feats1 = pyramid(im1)
-        feats2 = pyramid(im2)
+        if feats is None:
+            pyramid = FeaturePyramid(
+                cfg.pyramid_channels, dtype=dtype, name="pyramid"
+            )
+            feats1 = pyramid(im1)
+            feats2 = pyramid(im2)
+        else:
+            # Precomputed pyramids (estimate_flow_shared): in consecutive-
+            # pair clip flow each interior frame is both someone's f1 and
+            # someone's f2 — encoding every frame once halves the encoder
+            # work (measured ~5% MFU at 720p, ~20% of the flow wall;
+            # VERDICT r4 item 5).
+            feats1, feats2 = feats
 
         flows = []
         flow = None
@@ -131,8 +143,24 @@ def estimate_flow(params, im1: Array, im2: Array, cfg: FlowConfig) -> Array:
 
 
 def estimate_flow_pairs(params, frames: Array, cfg: FlowConfig) -> Array:
-    """Consecutive-pair flow over a clip: [T,H,W,3] -> [T-1,H,W,2]."""
-    return estimate_flow(params, frames[:-1], frames[1:], cfg)
+    """Consecutive-pair flow over a clip: [T,H,W,3] -> [T-1,H,W,2].
+
+    Shared-pyramid path: each of the T frames is encoded ONCE and the
+    per-level features are sliced into (f1, f2) views — a plain
+    estimate_flow(frames[:-1], frames[1:]) encodes every interior frame
+    twice (VERDICT r4 item 5; ~20% of the 720p flow wall is encoder)."""
+    from vstab.flow.encoder import FeaturePyramid
+
+    cfg_dtype = jnp.dtype(cfg.compute_dtype)
+    mult = 2 ** len(cfg.pyramid_channels)
+    h, w = frames.shape[1], frames.shape[2]
+    fp, _ = pad_to_multiple(frames, mult)
+    pyr = FeaturePyramid(cfg.pyramid_channels, dtype=cfg_dtype)
+    feats = pyr.apply({"params": params["params"]["pyramid"]}, fp)
+    feats1 = tuple(f[:-1] for f in feats)
+    feats2 = tuple(f[1:] for f in feats)
+    out = PWCNet(cfg).apply(params, fp[:-1], fp[1:], feats=(feats1, feats2))
+    return out["flow"][:, :h, :w]
 
 
 def init_params(rng: jax.Array, cfg: FlowConfig, h: int = 64, w: int = 64):

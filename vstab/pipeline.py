@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from vstab.core.config import Config
 from vstab.core.types import Clip
-from vstab.flow.pwcnet import estimate_flow, init_params
+from vstab.flow.pwcnet import estimate_flow_pairs, init_params
 from vstab.render.render import (
     affine_to_flow,
     grid_to_flow,
@@ -62,7 +62,9 @@ def _clip_flow(
         blk = jax.lax.dynamic_slice_in_dim(
             frames, i * pair_chunk, pair_chunk + 1, axis=0
         )
-        return None, estimate_flow(params, blk[:-1], blk[1:], cfg.flow)
+        # estimate_flow_pairs encodes each of the chunk's frames once and
+        # shares the pyramids between consecutive pairs (VERDICT r4 item 5).
+        return None, estimate_flow_pairs(params, blk, cfg.flow)
 
     _, flows = jax.lax.scan(body, None, jnp.arange(n_chunks))
     return flows.reshape(n_chunks * pair_chunk, h, w, 2)[:n_pairs]
