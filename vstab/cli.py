@@ -124,6 +124,7 @@ def cmd_eval(args) -> int:
         cfg=cfg,
         n_synthetic=args.n_synthetic,
         max_frames=args.max_frames,
+        synth_shape=tuple(args.synth_shape),
         data_parallel=args.data_parallel,
         save_videos_dir=args.save_videos,
     )
@@ -224,6 +225,12 @@ def main(argv=None) -> int:
     ep.add_argument("--method", choices=["affine", "sparse_ls"])
     ep.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
     ep.add_argument("--n-synthetic", type=int, default=8)
+    ep.add_argument(
+        "--synth-shape", type=int, nargs=3, default=(48, 256, 320),
+        metavar=("T", "H", "W"),
+        help="synthetic-fallback clip shape (contract-scale sweeps: "
+        "48 720 1280 / 48 1080 1920)",
+    )
     ep.add_argument("--max-frames", type=int, default=None)
     ep.add_argument("--data-parallel", action="store_true",
                     help="shard same-shape clips over the data mesh axis")

@@ -49,12 +49,19 @@ def enumerate_clips(data_dir: str) -> List[str]:
 def synthetic_clip_set(
     n_clips: int, t: int = 48, h: int = 256, w: int = 320
 ) -> List[Tuple[str, "np.ndarray"]]:
-    """Fallback dataset: named synthetic shaky clips (eval/synthetic.py)."""
-    from vstab.eval.synthetic import make_shaky_clip
+    """Fallback dataset: named synthetic shaky clips (eval/synthetic.py).
+
+    Every third clip has independently moving textured foreground occluders
+    (make_dynamic_clip) — DeepStab's clips are full of pedestrians/cars, so
+    a planar-only fallback sweep overstates the metrics (VERDICT r4 item 3)."""
+    from vstab.eval.synthetic import make_dynamic_clip, make_shaky_clip
 
     out = []
     for i in range(n_clips):
-        frames, _ = make_shaky_clip(t=t, h=h, w=w, seed=100 + i)
+        if i % 3 == 2:
+            frames, _ = make_dynamic_clip(t=t, h=h, w=w, seed=100 + i)
+        else:
+            frames, _ = make_shaky_clip(t=t, h=h, w=w, seed=100 + i)
         out.append((f"synthetic_{i:03d}", np.asarray(frames)))
     return out
 
