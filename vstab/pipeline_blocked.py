@@ -569,6 +569,21 @@ def _run_blocked(
     # --- sweep 3: render + stream out. 1-deep dispatch pipeline: fetch and
     # encode block i while the chip renders block i+1.
     to_u8 = out_dtype == "uint8"
+    # Resolution-adaptive render block: the two-pass warp holds several
+    # full-size f32 buffers live (normalized frames, padded rolled copy,
+    # per-pass fields/outputs), so a 64-frame 4K block needs ~24GB HBM
+    # (measured: the d=255 render compile OOM'd at 23.5/15.75GB). Cap the
+    # per-dispatch block at ~a 64-frame-1080p pixel budget; 720p/1080p
+    # blocks are unchanged.
+    px = hw[0] * hw[1]
+    rb = b if px <= 2.1e6 else max(1, int(b * 2.1e6 / px))
+    n_rblocks = -(-t // rb)
+
+    def _rechunk(gen: Iterator) -> Iterator:
+        for blk, start in gen:
+            for j in range(0, blk.shape[0], rb):
+                yield blk[j : j + rb], start + j
+
     # TWO alternating staging buffers: buffer i%2 is refilled at block i+2,
     # after _drain(i+1) has blocked on out_i — which implies the transfer
     # out of that buffer completed (overwriting a single buffer could race
@@ -580,18 +595,18 @@ def _run_blocked(
         out_dev, n, start = p
         writer(np.asarray(out_dev[:n]), start)
 
-    for bi, (blk, start) in enumerate(_prefetch(make_chunks())):
+    for bi, (blk, start) in enumerate(_prefetch(_rechunk(make_chunks()))):
         tb = time.perf_counter()
         n = blk.shape[0]
         if frame_bufs is None:
             frame_bufs = [
-                np.empty((b,) + blk.shape[1:], blk.dtype) for _ in range(2)
+                np.empty((rb,) + blk.shape[1:], blk.dtype) for _ in range(2)
             ]
         frame_buf = frame_bufs[bi % 2]
         frame_buf[:n] = blk
-        if n < b:
+        if n < rb:
             frame_buf[n:] = blk[-1]
-        pb = _pad_block(path[start : start + n], b)
+        pb = _pad_block(path[start : start + n], rb)
         out_dev = _block_render(
             jnp.asarray(frame_buf), jnp.asarray(pb), scale, cfg,
             max_disp=max_disp, to_uint8=to_u8,
@@ -601,7 +616,7 @@ def _run_blocked(
         pending = (out_dev, n, start)
         log.info(
             "render block %d/%d (frames %d..%d) %.1f fps rss %.1fGB",
-            bi + 1, n_blocks, start, start + n - 1,
+            bi + 1, n_rblocks, start, start + n - 1,
             n / max(time.perf_counter() - tb, 1e-9), _rss_gb(),
         )
     if pending is not None:
