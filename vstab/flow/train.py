@@ -369,8 +369,12 @@ def train_fast(
             return multiscale_epe(out["flow_pyramid"], batch["flow"])
         return photometric_loss(batch["im1"], batch["im2"], out["flow_pyramid"], cfg)
 
+    # `scenes` is an ARGUMENT, not a closure capture: a closed-over pool
+    # becomes a jaxpr constant shipped with the compile payload — a
+    # 128-scene 384x512 pool is ~300MB and overflows the remote-compile
+    # request (HTTP 413 through the axon tunnel).
     @jax.jit
-    def run_chunk(params, opt_state, rng):
+    def run_chunk(params, opt_state, rng, scenes):
         def body(carry, _):
             params, opt_state, rng = carry
             rng, sub = jax.random.split(rng)
@@ -389,7 +393,7 @@ def train_fast(
 
     n_chunks = -(-steps // scan_len)
     for ci in range(n_chunks):
-        params, opt_state, rng, ms = run_chunk(params, opt_state, rng)
+        params, opt_state, rng, ms = run_chunk(params, opt_state, rng, scenes)
         m = {k: round(float(v), 4) for k, v in ms.items()}
         print(f"step {min((ci + 1) * scan_len, steps)}/{steps}: {m}", flush=True)
 
