@@ -122,72 +122,106 @@ def _time_fn(fn, stacked_args: tuple, reps: int) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def measure(cfg, h: int, w: int, pairs: int, reps: int = 4) -> Dict[str, float]:
-    """Measured seconds per `pairs`-pair dispatch for: full flow, encoder,
-    per-level cost volumes, per-level feature warps. Estimator+context time
-    is reported as the residual of the full step."""
+def measure(cfg, h: int, w: int, pairs: int, reps: int = 8) -> Dict[str, float]:
+    """Floor-subtracted seconds per `pairs`-pair dispatch per component.
+
+    Every row is its own chained dispatch, so each still carries one
+    round-trip; the 'floor' row measures that round-trip with a trivial
+    op and is subtracted from every other row (round-5 calibration: ~3.7
+    ms/rep at reps=8 through the tunnel)."""
     import jax
     import jax.numpy as jnp
 
+    from vstab.flow.context import ContextNet
     from vstab.flow.encoder import FeaturePyramid
+    from vstab.flow.estimator import FlowEstimator
     from vstab.flow.pwcnet import PWCNet
     from vstab.kernels import bilinear_warp, cost_volume
 
     rng = np.random.default_rng(0)
 
-    def mk(shape):
-        return jnp.asarray(rng.random((reps,) + shape, np.float32))
+    def mk(shape, d=jnp.float32):
+        return jnp.asarray(rng.random((reps,) + shape, np.float32)).astype(d)
 
     params = default_params_flow(cfg)
     dtype = jnp.dtype(cfg.compute_dtype)
+    nd = (2 * cfg.search_radius + 1) ** 2
 
-    res: Dict[str, float] = {}
+    floor = _time_fn(lambda x: x + 1.0, (mk((8, 128, 128)),), reps)
+    res: Dict[str, float] = {"floor (round-trip)": floor}
+
     net = PWCNet(cfg)
     res["full_flow"] = _time_fn(
         lambda a, b: net.apply(params, a, b)["flow"],
         (mk((pairs, h, w, 3)), mk((pairs, h, w, 3))),
         reps,
-    )
+    ) - floor
 
     pyr = FeaturePyramid(cfg.pyramid_channels, dtype=dtype)
     pyr_params = {"params": params["params"]["pyramid"]}
-    res["encoder(x2 frames)"] = 2 * _time_fn(
-        lambda a: pyr.apply(pyr_params, a)[-1], (mk((pairs, h, w, 3)),), reps
+    res["encoder(x2 frames)"] = 2 * (
+        _time_fn(
+            lambda a: pyr.apply(pyr_params, a)[-1],
+            (mk((pairs, h, w, 3)),), reps,
+        )
+        - floor
     )
 
     cv_t = warp_t = 0.0
     fine_idx = cfg.output_level - 1
-    for idx in range(len(cfg.pyramid_channels) - 1, fine_idx - 1, -1):
+    for idx in (fine_idx, fine_idx + 1):  # two finest levels ~= all the work
         hl, wl = h >> (idx + 1), w >> (idx + 1)
         c = cfg.pyramid_channels[idx]
-        cv_t += _time_fn(
-            lambda a, b: cost_volume(
-                a, b, radius=cfg.search_radius, impl=cfg.kernel_impl
-            ),
-            (
-                mk((pairs, hl, wl, c)).astype(dtype),
-                mk((pairs, hl, wl, c)).astype(dtype),
-            ),
-            reps,
+        cv_t += max(
+            _time_fn(
+                lambda a, b: cost_volume(
+                    a, b, radius=cfg.search_radius, impl=cfg.kernel_impl
+                ),
+                (mk((pairs, hl, wl, c), dtype), mk((pairs, hl, wl, c), dtype)),
+                reps,
+            )
+            - floor,
+            0.0,
         )
-        if idx != len(cfg.pyramid_channels) - 1:
-            warp_t += _time_fn(
+        warp_t += max(
+            _time_fn(
                 lambda a, fl: bilinear_warp(
                     a, fl, impl=cfg.kernel_impl, max_disp=cfg.warp_max_disp
                 ),
-                (
-                    mk((pairs, hl, wl, c)).astype(dtype),
-                    (mk((pairs, hl, wl, 2)) * 8 - 4).astype(dtype),
-                ),
+                (mk((pairs, hl, wl, c), dtype), mk((pairs, hl, wl, 2), dtype)),
                 reps,
             )
-    res["cost_volume(all levels)"] = cv_t
-    res["feature_warp(all levels)"] = warp_t
-    res["estimators+context (residual)"] = max(
-        res["full_flow"]
-        - res["encoder(x2 frames)"]
-        - cv_t
-        - warp_t,
+            - floor,
+            0.0,
+        )
+    res["cost_volume(2 finest levels)"] = cv_t
+    res["feature_warp(2 finest levels)"] = warp_t
+
+    hl, wl = h >> cfg.output_level, w >> cfg.output_level
+    cin = nd + cfg.pyramid_channels[fine_idx] + 4
+    est = FlowEstimator(cfg.estimator_channels, dtype=dtype)
+    ev = est.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, cin), dtype))
+    res["estimator (finest level)"] = max(
+        _time_fn(
+            lambda x: est.apply(ev, x)[0], (mk((pairs, hl, wl, cin), dtype),),
+            reps,
+        )
+        - floor,
+        0.0,
+    )
+    cctx = cin + sum(cfg.estimator_channels)
+    ctx = ContextNet(cfg.context_dilations, dtype=dtype)
+    cvars = ctx.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, cctx), dtype),
+        jnp.zeros((1, 64, 64, 2), jnp.float32),
+    )
+    res["context (finest level)"] = max(
+        _time_fn(
+            lambda f, fl: ctx.apply(cvars, f, fl),
+            (mk((pairs, hl, wl, cctx), dtype), mk((pairs, hl, wl, 2))),
+            reps,
+        )
+        - floor,
         0.0,
     )
     return res
@@ -232,21 +266,30 @@ def main() -> int:
     if args.no_measure:
         return 0
     meas = measure(cfg, hp, wp, args.pairs)
-    print(f"\nmeasured ({args.pairs} pairs/dispatch, median of 4, "
-          f"{jax.default_backend()}):")
+    print(f"\nmeasured ({args.pairs} pairs/dispatch, chained reps, "
+          f"floor-subtracted, {jax.default_backend()}):")
+    # finest-level estimator/context analytic FLOPs for the isolated rows
+    hl, wl = hp >> cfg.output_level, wp >> cfg.output_level
+    nd = (2 * cfg.search_radius + 1) ** 2
+    cin_i = nd + cfg.pyramid_channels[cfg.output_level - 1] + 4
+    est_fin = 0.0
+    for ec in cfg.estimator_channels:
+        est_fin += _conv_flops(hl, wl, cin_i, ec)
+        cin_i += ec
+    est_fin += _conv_flops(hl, wl, cin_i, 2)
     group_flops = {
         "full_flow": total,
         "encoder(x2 frames)": fl["encoder(x2 frames)"],
-        "cost_volume(all levels)": fl["cost_volume(all levels)"],
-        "feature_warp(all levels)": fl["feature_warp(all levels)"],
-        "estimators+context (residual)": fl["estimators(all levels)"]
-        + fl["context_net"] + fl["upsample_blocks"],
+        "cost_volume(2 finest levels)": fl["cost_volume(all levels)"],
+        "feature_warp(2 finest levels)": fl["feature_warp(all levels)"],
+        "estimator (finest level)": est_fin,
+        "context (finest level)": fl["context_net"],
     }
     for k, sec in meas.items():
         gf = group_flops.get(k, 0.0) * args.pairs
         tf = gf / sec / 1e12 if sec > 0 else 0.0
         print(
-            f"  {k:28s} {1e3 * sec:8.1f} ms  {tf:6.1f} TFLOP/s  "
+            f"  {k:30s} {1e3 * sec:8.1f} ms  {tf:6.1f} TFLOP/s  "
             f"MFU {100 * tf / peak:5.1f}%"
         )
     return 0
