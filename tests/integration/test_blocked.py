@@ -101,3 +101,19 @@ def test_blocked_bounded_memory_shapes():
     finally:
         pb._block_motion = pb_block_motion
     assert set(seen) == {(9, 32, 48, 3)}, seen
+
+
+def test_render_rechunk_matches_unblocked(clip, monkeypatch):
+    """The resolution-adaptive render re-chunk (4K HBM fit) must not change
+    output: force a tiny pixel budget so render dispatches are 3 frames
+    while motion blocks stay 8, and compare against the whole-clip path."""
+    import vstab.pipeline_blocked as pb
+
+    monkeypatch.setattr(
+        pb, "_RENDER_PX_FRAMES_BUDGET", 3 * clip.shape[1] * clip.shape[2]
+    )
+    cfg = _cfg("sparse_ls", "auto")
+    params = default_params(cfg, seed=0, ckpt_dir="/nonexistent")
+    ref, _ = stabilize(jnp.asarray(clip), params, cfg)
+    out = stabilize_blocked(clip, params, cfg, block_len=8)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-3)

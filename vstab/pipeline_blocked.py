@@ -459,6 +459,15 @@ def stabilize_video_blocked(
     return stats
 
 
+# Resolution-adaptive render block (pixels x frames per render dispatch):
+# the two-pass warp holds several full-size f32 buffers live (normalized
+# frames, padded rolled copy, per-pass fields/outputs), so a 64-frame 4K
+# f32 block needs ~24GB HBM (measured: the d=255 render compile OOM'd at
+# 23.5/15.75GB). This budget keeps 720p/1080p dispatch shapes at the full
+# block length and re-chunks 4K to 16-frame dispatches.
+_RENDER_PX_FRAMES_BUDGET = 64 * 2_100_000
+
+
 # ---------------------------------------------------------------------------
 # The three-sweep driver
 # ---------------------------------------------------------------------------
@@ -569,14 +578,8 @@ def _run_blocked(
     # --- sweep 3: render + stream out. 1-deep dispatch pipeline: fetch and
     # encode block i while the chip renders block i+1.
     to_u8 = out_dtype == "uint8"
-    # Resolution-adaptive render block: the two-pass warp holds several
-    # full-size f32 buffers live (normalized frames, padded rolled copy,
-    # per-pass fields/outputs), so a 64-frame 4K block needs ~24GB HBM
-    # (measured: the d=255 render compile OOM'd at 23.5/15.75GB). Cap the
-    # per-dispatch block at ~a 64-frame-1080p pixel budget; 720p/1080p
-    # blocks are unchanged.
     px = hw[0] * hw[1]
-    rb = b if px <= 2.1e6 else max(1, int(b * 2.1e6 / px))
+    rb = min(b, max(1, _RENDER_PX_FRAMES_BUDGET // px))
     n_rblocks = -(-t // rb)
 
     def _rechunk(gen: Iterator) -> Iterator:
