@@ -49,7 +49,11 @@ def sweeps(tmp_path_factory):
 def test_dp_covers_all_clips_once(sweeps):
     _, dp, dp_path, _ = sweeps
     names = [r["clip"] for r in dp]
-    assert sorted(names) == [f"synthetic_{i:03d}" for i in range(N_CLIPS)]
+    want = sorted(
+        f"synthetic_dyn_{i:03d}" if i % 3 == 2 else f"synthetic_{i:03d}"
+        for i in range(N_CLIPS)
+    )
+    assert sorted(names) == want
     # manifest holds exactly one parseable record per clip
     with open(dp_path) as f:
         recs = [json.loads(line) for line in f if line.strip()]

@@ -85,7 +85,10 @@ def test_kill_mid_sweep_then_resume(tmp_path):
     final = _read_manifest(results)
     clips = [r["clip"] for r in final]
     # Every clip done exactly once: finished clips were skipped on resume.
-    expected = {f"synthetic_{i:03d}" for i in range(N_CLIPS)}
+    expected = {
+        f"synthetic_dyn_{i:03d}" if i % 3 == 2 else f"synthetic_{i:03d}"
+        for i in range(N_CLIPS)
+    }
     assert set(clips) == expected
     assert len(clips) == N_CLIPS, f"duplicate records after resume: {clips}"
     assert done_before <= set(clips)

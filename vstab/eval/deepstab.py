@@ -60,9 +60,11 @@ def synthetic_clip_set(
     for i in range(n_clips):
         if i % 3 == 2:
             frames, _ = make_dynamic_clip(t=t, h=h, w=w, seed=100 + i)
+            name = f"synthetic_dyn_{i:03d}"
         else:
             frames, _ = make_shaky_clip(t=t, h=h, w=w, seed=100 + i)
-        out.append((f"synthetic_{i:03d}", np.asarray(frames)))
+            name = f"synthetic_{i:03d}"
+        out.append((name, np.asarray(frames)))
     return out
 
 
