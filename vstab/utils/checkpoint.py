@@ -33,6 +33,9 @@ def load_params(path: str, template: Optional[Any] = None) -> Any:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest checkpoint by the step number embedded in `flow_NNNNNN.msgpack`
+    (mtime breaks ties / covers free-form names — on a fresh git clone every
+    file's mtime is the checkout time, so name order must win)."""
     if not os.path.isdir(ckpt_dir):
         return None
     cands = [
@@ -42,7 +45,14 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     ]
     if not cands:
         return None
-    return max(cands, key=os.path.getmtime)
+
+    def key(p: str):
+        import re
+
+        m = re.search(r"(\d+)", os.path.basename(p))
+        return (int(m.group(1)) if m else -1, os.path.getmtime(p))
+
+    return max(cands, key=key)
 
 
 __all__ = ["save_params", "load_params", "latest_checkpoint"]
